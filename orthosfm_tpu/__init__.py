@@ -1,0 +1,21 @@
+"""ortho-sfm-tpu: TPU-native Structure-from-Motion for orthographic multi-view images.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference C++
+pipeline OrthoSfM (kai-neumann/OrthoSfM): SIFT feature detection + exhaustive
+pairwise matching with geometric verification, feature-track building,
+group-wise incremental pose initialization via RANSAC'd Tomasi-Kanade
+factorization, orthographic ray triangulation, and incremental + global bundle
+adjustment under four camera parameterizations.
+
+Instead of OpenMP threads and Ceres, all numeric work is expressed as batched /
+vmapped / sharded array programs: tracks, observations and RANSAC hypotheses
+are dense padded tensors that shard across a TPU mesh; the bundle-adjustment
+normal equations are Schur-reduced over point blocks with `psum` collectives
+assembling the camera system.
+"""
+
+__version__ = "0.1.0"
+
+from orthosfm_tpu.config import ReconstructionConfig, SolverType
+
+__all__ = ["ReconstructionConfig", "SolverType", "__version__"]
