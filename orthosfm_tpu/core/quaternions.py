@@ -95,13 +95,18 @@ def from_matrix(m):
 
 def exp_map(delta):
     """Angle-axis tangent (..., 3) -> unit quaternion, matching Ceres
-    EigenQuaternionParameterization::Plus step construction."""
-    angle = jnp.linalg.norm(delta, axis=-1, keepdims=True)
-    half = 0.5 * angle
-    # sinc-safe
-    small = angle < 1e-8
-    k = jnp.where(small, 0.5, jnp.sin(half) / jnp.where(small, 1.0, angle))
-    w = jnp.cos(half)
+    EigenQuaternionParameterization::Plus step construction.
+
+    Differentiable at delta = 0 (where BA evaluates the Jacobian): both the
+    Taylor and exact branches are computed on safe inputs so no NaN gradients
+    leak through the `where`.
+    """
+    a2 = jnp.sum(delta * delta, axis=-1, keepdims=True)
+    small = a2 < 1e-12
+    safe_a2 = jnp.where(small, 1.0, a2)
+    angle = jnp.sqrt(safe_a2)
+    k = jnp.where(small, 0.5 - a2 / 48.0, jnp.sin(0.5 * angle) / angle)
+    w = jnp.where(small, 1.0 - a2 / 8.0, jnp.cos(0.5 * angle))
     return jnp.concatenate([w, k * delta], axis=-1)
 
 
