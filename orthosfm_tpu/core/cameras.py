@@ -106,6 +106,16 @@ def make_quaternion(view_ids, width, height, q=None, offset=None, scale=None) ->
     )
 
 
+def euler_free_angles(solver: SolverType):
+    """(3,) bool: which of (phi, theta, roll) are free for an Euler solver.
+
+    Mirrors setDegreesOfFreedom (reference: OrthographicCamera.cpp:195-207):
+    convertFromAxis only writes free angles, so restricted-DoF solvers keep
+    their fixed angles at 0 through every basis-derived update."""
+    dof = solver.degrees_of_freedom
+    return jnp.array([dof >= 1, dof >= 2, dof >= 3])
+
+
 def from_basis(basis, view_ids, width, height, solver: SolverType) -> CameraSet:
     """Build cameras from local→world basis matrices (columns = x/y/z world axes),
     as the TK init produces (reference: tomasi_kanade.cpp:169-191 feeding
@@ -115,6 +125,7 @@ def from_basis(basis, view_ids, width, height, solver: SolverType) -> CameraSet:
         q = quat.from_matrix(basis)
         return make_quaternion(view_ids, width, height, q=q)
     angles = basis_to_phi_theta_roll(basis)
+    angles = jnp.where(euler_free_angles(solver)[None, :], angles, 0.0)
     return make_euler(view_ids, width, height, angles=angles, solver=solver)
 
 
@@ -316,6 +327,9 @@ def apply_rotation(cams: CameraSet, R_or_q):
     R = R_or_q if R_or_q.shape[-1] == 3 else quat.to_matrix(R_or_q)
     new_basis = R @ rotation_l2w(cams)
     angles = basis_to_phi_theta_roll(new_basis)
+    # convertFromAxis only writes the solver's free angles
+    free = euler_free_angles(SolverType(cams.solver))
+    angles = jnp.where(free[None, :], angles, cams.rot[..., :3])
     return cams.replace(rot=jnp.concatenate([angles, cams.rot[..., 3:4]], axis=-1))
 
 

@@ -1,0 +1,85 @@
+"""IO round-trip tests for the reference-compatible artifact formats."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from orthosfm_tpu.core import cameras as cam_mod
+from orthosfm_tpu.data import synthetic, tracks as tracks_mod
+from orthosfm_tpu.io import cameras_io, ply, timing, tracks_io, project
+
+
+def _sample_tracks():
+    track_list = [
+        [(0, 1, 100, 10.5, 20.25, 255, 0, 0), (1, 2, 200, 30.0, 40.0, 0, 255, 0)],
+        [(0, 3, 101, 1.0, 2.0, 1, 2, 3), (2, 4, 300, 5.0, 6.0, 7, 8, 9),
+         (1, 5, 201, 9.0, 10.0, 11, 12, 13)],
+    ]
+    return tracks_mod.from_feature_lists(track_list, np.arange(3))
+
+
+def test_tracks_roundtrip(tmp_path):
+    ts = _sample_tracks()
+    path = str(tmp_path / "tracks.txt")
+    tracks_io.save_tracks(ts, path)
+    loaded = tracks_io.load_tracks(path, np.arange(3))
+    np.testing.assert_allclose(np.asarray(loaded.obs), np.asarray(ts.obs), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(loaded.obs_mask), np.asarray(ts.obs_mask))
+    np.testing.assert_array_equal(np.asarray(loaded.colors), np.asarray(ts.colors))
+    np.testing.assert_array_equal(np.asarray(loaded.global_ids), np.asarray(ts.global_ids))
+    # Reference line format: first line "2;0;1;100;10.5;20.25;255;0;0;1;2;200;30;40;0;255;0"
+    first = open(path).readline().strip()
+    assert first.startswith("2;0;1;100;10.5;20.25;255;0;0;1;2;200;30;40;0;255;0")
+
+
+def test_pairwise_export(tmp_path):
+    ts = _sample_tracks()
+    tracks_io.save_pairwise_tracks(ts, str(tmp_path))
+    assert (tmp_path / "000_001.txt").exists()
+    lines = (tmp_path / "000_001.txt").read_text().strip().splitlines()
+    assert len(lines) == 2  # both tracks observe views 0 and 1
+    assert lines[0].split() == ["10.5", "20.25", "30", "40"]
+
+
+def test_cameras_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    cams = cam_mod.make_euler(np.arange(3), 640, 480, angles=rng.uniform(-1, 1, (3, 3)))
+    path = str(tmp_path / "cameras.txt")
+    cameras_io.export_cameras(cams, ["a.png", "b.png", "c.png"], path)
+    loaded = cameras_io.import_cameras(path)
+    assert [c.image_name for c in loaded] == ["a.png", "b.png", "c.png"]
+    mats = np.asarray(cam_mod.export_matrices(cams))
+    for i, c in enumerate(loaded):
+        np.testing.assert_allclose(c.transform, mats[i], atol=1e-5)
+
+
+def test_ply_roundtrip(tmp_path):
+    ds = synthetic.generate_dataset(synthetic.sphere_cloud(50), num_views=4, seed=0)
+    from orthosfm_tpu.ops import triangulate
+
+    ts = triangulate.triangulate_tracks(ds.gt_cameras, ds.tracks, np.arange(4))
+    path = str(tmp_path / "cloud.ply")
+    ply.save_point_cloud(ts, path)
+    verts = ply.load_vertices(path)
+    assert verts.shape == (50, 3)
+    np.testing.assert_allclose(verts, np.asarray(ts.points)[:, :3], atol=1e-3)
+
+
+def test_timing_roundtrip(tmp_path):
+    path = str(tmp_path / "time_measurements.txt")
+    timing.save_runtimes(path, 1.25, 2.5, 3.75, 7.5)
+    m = timing.load_runtimes(path)
+    assert (m.init_time, m.track_building_time, m.pose_estimation_time, m.total_time) == \
+        (1.25, 2.5, 3.75, 7.5)
+    assert open(path).readline().startswith("Initialization Time [s] = ")
+
+
+def test_project_lifecycle(tmp_path):
+    folder = str(tmp_path / "proj")
+    assert project.create_project(folder)
+    assert project.is_project(folder)
+    (tmp_path / "proj" / "junk.txt").write_text("x")
+    assert not project.create_project(folder)  # refuses without overwrite
+    assert project.create_project(folder, overwrite=True)
+    assert not (tmp_path / "proj" / "junk.txt").exists()
