@@ -1,0 +1,100 @@
+"""Benchmark: robust Schur-LM bundle adjustment throughput on TPU.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Metric: BA iterations/second on the standard synthetic problem (16 cameras,
+8192 tracks, ~131k observations, quaternion parameterization). vs_baseline is
+the speedup over the same solver on host CPU — the reference implementation is
+CPU-only (Ceres SPARSE_SCHUR + OpenMP), so TPU/CPU throughput is the
+apples-to-apples "beat the reference's platform" ratio (BASELINE.md north
+star: >5x CPU pipeline throughput).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_problem(num_views=16, n_points=8192, width=2048.0):
+    import jax.numpy as jnp
+
+    from orthosfm_tpu.core import cameras as cam_mod, quaternions as quat
+    from orthosfm_tpu.data import synthetic
+    from orthosfm_tpu.ops import triangulate
+
+    ds = synthetic.generate_dataset(synthetic.sphere_cloud(n_points),
+                                    num_views=num_views, seed=0,
+                                    width=int(width), height=int(width))
+    rng = np.random.default_rng(0)
+    pert = np.asarray(ds.gt_cameras.rot[:, :3]) + np.deg2rad(
+        rng.uniform(-1.0, 1.0, (num_views, 3))).astype(np.float32)
+    e = cam_mod.make_euler(np.arange(num_views), width, width, angles=pert)
+    cams = cam_mod.make_quaternion(np.arange(num_views), width, width,
+                                   q=quat.from_matrix(cam_mod.basis(e)))
+    cams = cams.replace(fixed=jnp.zeros(num_views, bool).at[0].set(True))
+    ts = triangulate.triangulate_tracks(cams, ds.tracks, np.arange(num_views))
+    mask = ts.obs_mask & ts.alive[:, None] & ts.has_point[:, None]
+    return cams, ts.points, ts.obs, mask
+
+
+def time_ba(device, cams, points, obs, mask, iters=30, repeats=3):
+    """Time `iters` LM iterations of the BA solver on the given device."""
+    import jax
+
+    from orthosfm_tpu.config import BundleAdjustConfig
+    from orthosfm_tpu.solvers import ba
+
+    cfg = BundleAdjustConfig(max_iterations=iters, function_tolerance=0.0,
+                             min_lambda=1e-12)
+    args = jax.device_put((cams, points, obs, mask), device)
+
+    def run():
+        res = ba.run(*args, optimize_points=True, config=cfg)
+        jax.block_until_ready(res.cost)
+        return res
+
+    res = run()  # compile + warmup
+    n_iters = int(res.iterations)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = run()
+        best = min(best, time.perf_counter() - t0)
+    return n_iters / best, int(res.iterations)
+
+
+def main():
+    import jax
+
+    # Make both the TPU (default) and host CPU backends available
+    default_devices = jax.devices()
+    tpu_dev = default_devices[0]
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu_dev = None
+
+    cams, points, obs, mask = make_problem()
+
+    tpu_ips, n_iters = time_ba(tpu_dev, cams, points, obs, mask)
+
+    vs_baseline = 1.0
+    if cpu_dev is not None and cpu_dev.platform != tpu_dev.platform:
+        try:
+            cpu_ips, _ = time_ba(cpu_dev, cams, points, obs, mask, repeats=1)
+            vs_baseline = tpu_ips / cpu_ips
+        except Exception as e:  # pragma: no cover
+            print(f"cpu baseline failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "ba_iterations_per_s_16cam_8192trk",
+        "value": round(tpu_ips, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -156,11 +156,19 @@ def normal_equations(blocks: _Blocks, free_c):
     return U, Wc, Vt, g_c, g_p
 
 
-def schur_solve(U, Wc, Vt, g_c, g_p, free_c, lam, optimize_points: bool):
+def schur_solve(U, Wc, Vt, g_c, g_p, free_c, lam, optimize_points: bool,
+                reduce_fn=None):
     """LM step via Schur elimination of point blocks.
 
     Returns (delta_c (V,6), delta_p (T,3)).
+
+    ``reduce_fn`` sums partial cross-track contributions across devices
+    (jax.lax.psum inside shard_map); U and g_c must already be globally
+    reduced by the caller in that case. Point blocks stay local to their
+    track shard.
     """
+    if reduce_fn is None:
+        reduce_fn = lambda x: x  # noqa: E731 — single-device: identity
     T, V = Wc.shape[0], Wc.shape[1]
     dtype = U.dtype
     eye3 = jnp.eye(3, dtype=dtype)
@@ -179,10 +187,10 @@ def schur_solve(U, Wc, Vt, g_c, g_p, free_c, lam, optimize_points: bool):
 
     # Reduced camera system S = blkdiag(U) − Σ_t W_t V_t⁻¹ W_tᵀ  (MXU einsum)
     WVi = jnp.einsum("tvap,tpq->tvaq", Wc, V_inv)  # (T, V, 6, 3)
-    S_red = jnp.einsum("tvaq,twbq->vawb", WVi, Wc)  # (V, 6, V, 6)
+    S_red = reduce_fn(jnp.einsum("tvaq,twbq->vawb", WVi, Wc))  # (V, 6, V, 6)
     S = -S_red
     S = S.at[jnp.arange(V), :, jnp.arange(V), :].add(U_d)
-    rhs = g_c - jnp.einsum("tvaq,tq->va", WVi, g_p)  # (V, 6)
+    rhs = g_c - reduce_fn(jnp.einsum("tvaq,tq->va", WVi, g_p))  # (V, 6)
 
     n = V * 6
     S_f = S.reshape(n, n)
