@@ -1,0 +1,58 @@
+"""Pairwise descriptor matching.
+
+TPU-native replacement for the reference's matchers (MVE exhaustive/cascade
+hashing: src/mve/sfm/{matching,exhaustive_matching,cascade_hashing}.*;
+CudaSift: src/cuda_sift/matching.cu). On TPU the brute-force descriptor
+product IS the fast path — one (N1, 128)×(128, N2) MXU matmul replaces the
+LSH machinery entirely; top-2 selection, Lowe ratio on squared distances
+(MVE matching.h:126-142) and the mutual cross-check
+(matching.cc:18-36) are fused reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("lowe_ratio",))
+def match_pair(desc1, valid1, desc2, valid2, lowe_ratio: float = 0.8):
+    """Two-way matching with Lowe ratio + consistency check.
+
+    desc: (N, 128) L2-normalized descriptors; valid: (N,) masks.
+    Returns matches_12: (N1,) int32 index into set 2, −1 for unmatched —
+    only mutually-consistent matches survive (MVE twoway_match +
+    remove_inconsistent_matches).
+    """
+    big = jnp.asarray(4.0, desc1.dtype)  # > max possible squared distance
+
+    def oneway(dA, vA, dB, vB):
+        sim = dA @ dB.T  # (NA, NB) MXU
+        d2 = jnp.maximum(2.0 - 2.0 * sim, 0.0)
+        d2 = jnp.where(vB[None, :], d2, big)
+        neg_top2, idx2 = jax.lax.top_k(-d2, 2)
+        d_best, d_second = -neg_top2[:, 0], -neg_top2[:, 1]
+        ok = (d_best <= lowe_ratio * lowe_ratio * d_second) & vA & (d_best < big)
+        return jnp.where(ok, idx2[:, 0], -1)
+
+    m12 = oneway(desc1, valid1, desc2, valid2)
+    m21 = oneway(desc2, valid2, desc1, valid1)
+    # Mutual consistency: m21[m12[i]] == i
+    back = jnp.where(m12 >= 0, m21[jnp.clip(m12, 0, m21.shape[0] - 1)], -2)
+    consistent = back == jnp.arange(m12.shape[0])
+    return jnp.where(consistent, m12, -1)
+
+
+def count_matches(m12):
+    return jnp.sum(m12 >= 0)
+
+
+def lowres_subset(scale, valid, n: int):
+    """Indices of the n largest-scale (lowest-resolution) valid features —
+    the low-res matchability gate subset (MVE matching_base.h:46-52,
+    exhaustive_matching sorts FeatureSet by scale)."""
+    score = jnp.where(valid, scale, -jnp.inf)
+    _, idx = jax.lax.top_k(score, n)
+    return idx

@@ -1,0 +1,72 @@
+"""Batched RANSAC fundamental-matrix estimation (geometric verification).
+
+Replaces MVE's sequential 1000-iteration loop (src/mve/sfm/
+ransac_fundamental.cc:26-105) with one vmapped program: Gumbel top-8 sampling,
+batched 8-point solves (SVD null vector + rank-2 enforcement,
+mve/sfm/fundamental.cc), Sampson-distance inlier scoring, argmax selection.
+Coordinates are expected in MVE-normalized form ((x + 0.5 − w/2)/max(w, h),
+feature_set.cc:43-56), matching the 0.0015 threshold convention.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def eight_point(p1, p2):
+    """Fundamental matrix from 8 correspondences (each (8, 2)) via the linear
+    8-point algorithm + rank-2 enforcement."""
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    ones = jnp.ones_like(x1)
+    A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], -1)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    F = vt[-1].reshape(3, 3)
+    u, s, vt2 = jnp.linalg.svd(F)
+    s = s.at[2].set(0.0)
+    return (u * s[None, :]) @ vt2
+
+
+def sampson_distance(F, p1, p2):
+    """Squared Sampson distance (mve/sfm/fundamental.cc:225)."""
+    x1 = jnp.concatenate([p1, jnp.ones_like(p1[..., :1])], -1)
+    x2 = jnp.concatenate([p2, jnp.ones_like(p2[..., :1])], -1)
+    Fx1 = x1 @ F.T  # (M, 3)
+    Ftx2 = x2 @ F
+    num = jnp.sum(x2 * Fx1, axis=-1) ** 2
+    den = Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2 + Ftx2[..., 0] ** 2 + Ftx2[..., 1] ** 2
+    return num / jnp.maximum(den, 1e-20)
+
+
+class RansacFResult(NamedTuple):
+    inliers: jnp.ndarray  # (M,) bool
+    num_inliers: jnp.ndarray
+    fundamental: jnp.ndarray  # (3, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def ransac_fundamental(p1, p2, valid, key, iterations: int = 1000,
+                       threshold: float = 0.0015) -> RansacFResult:
+    """p1, p2: (M, 2) normalized correspondence coords; valid: (M,) mask."""
+    M = p1.shape[0]
+    keys = jax.random.split(key, iterations)
+    thresh2 = threshold * threshold
+
+    def hypothesis(k):
+        gumbel = jax.random.gumbel(k, (M,))
+        _, idx = jax.lax.top_k(jnp.where(valid, gumbel, -jnp.inf), 8)
+        F = eight_point(p1[idx], p2[idx])
+        d = sampson_distance(F, p1, p2)
+        inl = (d < thresh2) & valid
+        return jnp.sum(inl), F
+
+    counts, Fs = jax.vmap(hypothesis)(keys)
+    best = jnp.argmax(counts)
+    F = Fs[best]
+    inliers = (sampson_distance(F, p1, p2) < thresh2) & valid
+    return RansacFResult(inliers=inliers, num_inliers=jnp.sum(inliers),
+                         fundamental=F)

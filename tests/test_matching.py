@@ -1,0 +1,108 @@
+"""Feature detection + matching stack tests on synthetic textured images."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orthosfm_tpu.ops import matching as match_ops
+from orthosfm_tpu.ops import ransac_f, sift
+from orthosfm_tpu.pipeline import tracks_build
+
+
+def _blob_image(centers, amps, sigmas, H=180, W=180):
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    img = np.full((H, W), 0.4)
+    for (cx, cy), a, s in zip(centers, amps, sigmas):
+        img += a * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def _scene(seed=0, n=50):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(25, 155, (n, 2))
+    amps = rng.uniform(0.25, 0.55, n) * rng.choice([-1, 1], n)
+    sigmas = rng.uniform(2.0, 5.0, n)
+    return centers, amps, sigmas
+
+
+def test_sift_repeatability_under_shift():
+    centers, amps, sigmas = _scene()
+    img1 = _blob_image(centers, amps, sigmas)
+    img2 = _blob_image(centers + np.array([7.0, 3.0]), amps, sigmas)
+    f1 = sift.extract(jnp.asarray(img1), per_octave_cap=256)
+    f2 = sift.extract(jnp.asarray(img2), per_octave_cap=256)
+    n1, n2 = int(f1.valid.sum()), int(f2.valid.sum())
+    assert n1 > 15 and n2 > 15, (n1, n2)
+
+    m12 = match_ops.match_pair(f1.desc, f1.valid, f2.desc, f2.valid)
+    idx1 = np.flatnonzero(np.asarray(m12) >= 0)
+    idx2 = np.asarray(m12)[idx1]
+    assert len(idx1) >= 10, len(idx1)
+    # Matched keypoints must be offset by ≈ (7, 3)
+    d = np.asarray(f2.xy)[idx2] - np.asarray(f1.xy)[idx1]
+    med = np.median(d, axis=0)
+    np.testing.assert_allclose(med, [7.0, 3.0], atol=0.5)
+    inlier_frac = np.mean(np.linalg.norm(d - med, axis=1) < 1.5)
+    assert inlier_frac > 0.8, inlier_frac
+
+
+def test_match_pair_mutual_consistency():
+    rng = np.random.default_rng(1)
+    d = rng.normal(size=(32, 128)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    perm = rng.permutation(32)
+    m12 = match_ops.match_pair(jnp.asarray(d), jnp.ones(32, bool),
+                               jnp.asarray(d[perm]), jnp.ones(32, bool))
+    # identical descriptors under permutation: d_best=0 → ratio passes
+    np.testing.assert_array_equal(np.asarray(m12), np.argsort(perm)[np.arange(32)][np.argsort(np.arange(32))] if False else np.argsort(perm)[np.arange(32)] if False else np.asarray(m12))
+    recovered = np.asarray(m12)
+    assert (recovered >= 0).all()
+    np.testing.assert_array_equal(perm[recovered], np.arange(32))
+
+
+def test_ransac_fundamental_rejects_outliers():
+    rng = np.random.default_rng(2)
+    n = 200
+    # A rigid scene observed by two orthographic-ish cameras: generate 3D
+    # points, project with two projection matrices → valid epipolar geometry
+    X = rng.uniform(-1, 1, (n, 3))
+    def proj(R, t):
+        p = X @ R.T + t
+        return p[:, :2] / 4.0
+    from scipy.spatial.transform import Rotation as _R  # noqa — not available?
+    pytest.importorskip("scipy")
+    R2 = _R.from_euler("y", 20, degrees=True).as_matrix()
+    p1 = proj(np.eye(3), np.zeros(3))
+    p2 = proj(R2, np.array([0.1, 0.0, 0.0]))
+    # corrupt 25%
+    bad = rng.choice(n, n // 4, replace=False)
+    p2c = p2.copy()
+    p2c[bad] += rng.uniform(-0.3, 0.3, (len(bad), 2))
+    res = ransac_f.ransac_fundamental(
+        jnp.asarray(p1, jnp.float32), jnp.asarray(p2c, jnp.float32),
+        jnp.ones(n, bool), jax.random.PRNGKey(0), iterations=500, threshold=0.002)
+    inl = np.asarray(res.inliers)
+    assert inl[~np.isin(np.arange(n), bad)].mean() > 0.9
+    assert inl[bad].mean() < 0.2
+
+
+def test_union_find_tracks():
+    # 3 views, features: v0:{0,1}, v1:{0,1}, v2:{0,1}
+    # match chain v0f0-v1f0, v1f0-v2f0 → one 3-view track
+    # conflict: v0f1-v1f1 and v0f1-v2f1 and v1f1-... fine; make a conflict track
+    pm = [
+        (0, 1, np.array([0]), np.array([0])),
+        (1, 2, np.array([0]), np.array([0])),
+        (0, 1, np.array([1]), np.array([1])),
+        (0, 2, np.array([1]), np.array([1])),
+    ]
+    tracks = tracks_build.build_tracks(pm, [2, 2, 2])
+    lens = sorted(len(t) for t in tracks)
+    assert lens == [3, 3]
+    # Now force a conflict: v1f0 (track A) also matches v2f1 (track B) —
+    # unify_tracks merges A and B into one track with two features per view,
+    # which is invalid and removed (bundler_tracks.cc:151-176)
+    pm.append((1, 2, np.array([0]), np.array([1])))
+    tracks = tracks_build.build_tracks(pm, [2, 2, 2])
+    assert tracks == []
