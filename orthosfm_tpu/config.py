@@ -122,6 +122,8 @@ class MatchingConfig:
     sift_inherent_blur: float = 0.5
     max_features_per_view: int = 8192
     lowe_ratio: float = 0.8  # SIFT (reference: mve/sfm/matching_base.h:28-31)
+    surf_lowe_ratio: float = 0.7  # SURF ratio (matching_base.h:30)
+    use_surf: bool = True  # FEATURE_ALL = SIFT + SURF (matching_mve.cpp:333)
     lowres_feature_count: int = 500
     lowres_match_threshold: int = 5
     min_feature_matches: int = 50  # pair gate (reference: matching_mve.cpp:400-405)

@@ -29,10 +29,24 @@ from orthosfm_tpu.pipeline import tracks_build
 
 @dataclasses.dataclass
 class ViewFeatures:
+    """Combined per-view features, ordered [SIFT..., SURF...] like MVE's
+    FeatureSet (feature_set.cc). Descriptors stay per-type (128-d / 64-d) and
+    are matched separately, then combined with index offsets
+    (mve/sfm/matching.cc combine_results)."""
+
     xy: np.ndarray  # (N, 2) pixel coords in the view's (config-downscaled) image
     norm_xy: np.ndarray  # (N, 2) MVE-normalized coords
     scale: np.ndarray  # (N,)
-    desc: np.ndarray  # (N, 128)
+    sift_desc: np.ndarray  # (Ns, 128)
+    surf_desc: np.ndarray  # (Nu, 64)
+
+    @property
+    def count(self) -> int:
+        return self.xy.shape[0]
+
+    @property
+    def n_sift(self) -> int:
+        return self.sift_desc.shape[0]
 
 
 def _bucket(n: int, step: int = 512) -> int:
@@ -51,29 +65,72 @@ def extract_view_features(view: View, config: ReconstructionConfig) -> ViewFeatu
 
     feats = sift.extract(jnp.asarray(gray))
     v = np.asarray(feats.valid)
-    xy = np.asarray(feats.xy)[v]
-    scale = np.asarray(feats.scale)[v] * (2.0**halvings)
-    desc = np.asarray(feats.desc)[v]
+    xy_s = np.asarray(feats.xy)[v]
+    scale_s = np.asarray(feats.scale)[v] * (2.0**halvings)
+    sift_desc = np.asarray(feats.desc)[v]
+
+    if config.matching.use_surf:
+        from orthosfm_tpu.ops import surf as surf_mod
+
+        sfeats = surf_mod.extract(jnp.asarray(gray))
+        sv = np.asarray(sfeats.valid)
+        xy_u = np.asarray(sfeats.xy)[sv]
+        scale_u = np.asarray(sfeats.scale)[sv] * (2.0**halvings)
+        surf_desc = np.asarray(sfeats.desc)[sv]
+    else:
+        xy_u = np.zeros((0, 2), np.float32)
+        scale_u = np.zeros((0,), np.float32)
+        surf_desc = np.zeros((0, 64), np.float32)
+
+    cap = config.matching.max_features_per_view
+    if xy_s.shape[0] > cap:
+        order = np.argsort(-scale_s)[:cap]
+        xy_s, scale_s, sift_desc = xy_s[order], scale_s[order], sift_desc[order]
+    if xy_u.shape[0] > cap:
+        order = np.argsort(-scale_u)[:cap]
+        xy_u, scale_u, surf_desc = xy_u[order], scale_u[order], surf_desc[order]
+
+    xy = np.concatenate([xy_s, xy_u])
+    scale = np.concatenate([scale_s, scale_u])
     # Map detected coords back to the view image (pixel centers: x' = 2x+0.5)
     for _ in range(halvings):
         xy = 2.0 * xy + 0.5
-
-    # Cap per view by keeping the strongest scales... the reference keeps all;
-    # we cap only at the (large) configured maximum for fixed shapes.
-    if xy.shape[0] > config.matching.max_features_per_view:
-        order = np.argsort(-scale)[: config.matching.max_features_per_view]
-        xy, scale, desc = xy[order], scale[order], desc[order]
 
     w, h = float(view.width), float(view.height)
     maxdim = max(w, h)
     norm_xy = np.stack([(xy[:, 0] + 0.5 - w / 2.0) / maxdim,
                         (xy[:, 1] + 0.5 - h / 2.0) / maxdim], -1)
-    return ViewFeatures(xy=xy, norm_xy=norm_xy, scale=scale, desc=desc)
+    return ViewFeatures(xy=xy, norm_xy=norm_xy, scale=scale,
+                        sift_desc=sift_desc, surf_desc=surf_desc)
 
 
 def _padded(arr, n, fill=0.0):
     out = np.full((n,) + arr.shape[1:], fill, arr.dtype)
     out[: arr.shape[0]] = arr
+    return out
+
+
+def _match_combined(fi: ViewFeatures, fj: ViewFeatures, m) -> np.ndarray:
+    """Match SIFT and SURF descriptors separately (their own Lowe ratios,
+    MVE matching_base.h:27-31) and combine the per-type match lists with
+    index offsets (matching.cc combine_results). Returns combined m12."""
+    out = np.full(fi.count, -1, np.int64)
+    specs = [
+        (fi.sift_desc, fj.sift_desc, m.lowe_ratio, 0, 0),
+        (fi.surf_desc, fj.surf_desc, m.surf_lowe_ratio, fi.n_sift, fj.n_sift),
+    ]
+    for dA, dB, ratio, off_i, off_j in specs:
+        na, nb = dA.shape[0], dB.shape[0]
+        if na == 0 or nb == 0:
+            continue
+        ba, bb = _bucket(na), _bucket(nb)
+        m12 = match_ops.match_pair(
+            jnp.asarray(_padded(dA, ba)), jnp.arange(ba) < na,
+            jnp.asarray(_padded(dB, bb)), jnp.arange(bb) < nb,
+            lowe_ratio=float(ratio))
+        m12 = np.asarray(m12)[:na]
+        hit = m12 >= 0
+        out[off_i:off_i + na][hit] = m12[hit] + off_j
     return out
 
 
@@ -88,41 +145,36 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
     for i in range(n_views):
         for j in range(i + 1, n_views):
             fi, fj = features[i], features[j]
-            ni, nj = fi.desc.shape[0], fj.desc.shape[0]
+            ni, nj = fi.count, fj.count
             if ni == 0 or nj == 0:
                 continue
-            bi, bj = _bucket(ni), _bucket(nj)
-            di = jnp.asarray(_padded(fi.desc, bi))
-            dj = jnp.asarray(_padded(fj.desc, bj))
-            vi = jnp.arange(bi) < ni
-            vj = jnp.arange(bj) < nj
 
-            # Low-res matchability gate (two_view_matching,
-            # bundler_matching.cc:146-158)
-            if ni * nj > 1_000_000:
-                nlow = min(m.lowres_feature_count, ni, nj)
-                ii = match_ops.lowres_subset(jnp.asarray(_padded(fi.scale, bi)), vi, nlow)
-                ij = match_ops.lowres_subset(jnp.asarray(_padded(fj.scale, bj)), vj, nlow)
-                m_low = match_ops.match_pair(di[ii], jnp.ones(nlow, bool),
-                                             dj[ij], jnp.ones(nlow, bool),
-                                             lowe_ratio=m.lowe_ratio)
+            # Low-res matchability gate on SIFT descriptors
+            # (two_view_matching, bundler_matching.cc:146-158)
+            if ni * nj > 1_000_000 and fi.n_sift and fj.n_sift:
+                nlow = min(m.lowres_feature_count, fi.n_sift, fj.n_sift)
+                si = np.argsort(-fi.scale[:fi.n_sift])[:nlow]
+                sj = np.argsort(-fj.scale[:fj.n_sift])[:nlow]
+                m_low = match_ops.match_pair(
+                    jnp.asarray(fi.sift_desc[si]), jnp.ones(nlow, bool),
+                    jnp.asarray(fj.sift_desc[sj]), jnp.ones(nlow, bool),
+                    lowe_ratio=m.lowe_ratio)
                 if int(match_ops.count_matches(m_low)) < m.lowres_match_threshold:
                     if verbose:
                         print(f"Pair ({i},{j}) rejected, low-res matches below "
                               f"{m.lowres_match_threshold}.")
                     continue
 
-            m12 = match_ops.match_pair(di, vi, dj, vj, lowe_ratio=m.lowe_ratio)
-            n_match = int(match_ops.count_matches(m12))
+            m12 = _match_combined(fi, fj, m)
+            n_match = int((m12 >= 0).sum())
             if n_match < max(8, m.min_feature_matches):
                 if verbose:
                     print(f"Pair ({i},{j}) rejected, {n_match} matches below "
                           f"threshold {max(8, m.min_feature_matches)}.")
                 continue
 
-            m12_np = np.asarray(m12)
-            idx_i = np.flatnonzero(m12_np >= 0)
-            idx_j = m12_np[idx_i]
+            idx_i = np.flatnonzero(m12 >= 0)
+            idx_j = m12[idx_i]
             p1 = jnp.asarray(_padded(fi.norm_xy[idx_i], _bucket(len(idx_i), 256)))
             p2 = jnp.asarray(_padded(fj.norm_xy[idx_j], p1.shape[0]))
             valid = jnp.arange(p1.shape[0]) < len(idx_i)

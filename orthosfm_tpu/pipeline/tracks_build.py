@@ -6,6 +6,11 @@ multi-view tracks; any track ending up with two features in one view is
 invalid and removed. Also covers the CudaSift-path pairwise merge
 (src/matching/matching.cpp:233-283) whose same-camera conflict rejection
 maps to the same invariant.
+
+The DSU itself runs in the native C++ runtime (orthosfm_tpu/native) when
+available — it is the irregular pointer-chasing hot loop between device
+stages — with a pure-Python fallback. Grouping and conflict removal are
+vectorized NumPy either way.
 """
 
 from __future__ import annotations
@@ -14,9 +19,11 @@ from typing import List, Tuple
 
 import numpy as np
 
+from orthosfm_tpu import native
+
 
 class UnionFind:
-    """Array-based DSU with path halving."""
+    """Array-based DSU with path halving (pure-Python fallback)."""
 
     def __init__(self, n: int):
         self.parent = np.arange(n, dtype=np.int64)
@@ -34,6 +41,16 @@ class UnionFind:
             self.parent[rb] = ra
 
 
+def _roots(edges_a: np.ndarray, edges_b: np.ndarray, n: int) -> np.ndarray:
+    out = native.union_find(edges_a, edges_b, n)
+    if out is not None:
+        return out
+    uf = UnionFind(n)
+    for a, b in zip(edges_a, edges_b):
+        uf.union(int(a), int(b))
+    return np.asarray([uf.find(i) for i in range(n)], np.int64)
+
+
 def build_tracks(pair_matches: List[Tuple[int, int, np.ndarray, np.ndarray]],
                  feature_counts: List[int]):
     """Union pairwise matches into tracks.
@@ -44,32 +61,38 @@ def build_tracks(pair_matches: List[Tuple[int, int, np.ndarray, np.ndarray]],
     with same-view-conflict tracks removed (bundler_tracks.cc:151-176).
     """
     offsets = np.concatenate([[0], np.cumsum(feature_counts)]).astype(np.int64)
-    uf = UnionFind(int(offsets[-1]))
-    for vi, vj, idx_i, idx_j in pair_matches:
-        gi = offsets[vi] + np.asarray(idx_i, np.int64)
-        gj = offsets[vj] + np.asarray(idx_j, np.int64)
-        for a, b in zip(gi, gj):
-            uf.union(int(a), int(b))
+    n = int(offsets[-1])
+    if not pair_matches:
+        return []
+    ea = np.concatenate([offsets[vi] + np.asarray(ii, np.int64)
+                         for vi, vj, ii, jj in pair_matches])
+    eb = np.concatenate([offsets[vj] + np.asarray(jj, np.int64)
+                         for vi, vj, ii, jj in pair_matches])
+    root = _roots(ea, eb, n)
 
-    # Collect only features that participated in at least one match
-    touched = set()
-    for vi, vj, idx_i, idx_j in pair_matches:
-        touched.update((offsets[vi] + np.asarray(idx_i, np.int64)).tolist())
-        touched.update((offsets[vj] + np.asarray(idx_j, np.int64)).tolist())
+    # Only nodes that participated in a match form tracks
+    touched = np.unique(np.concatenate([ea, eb]))
+    t_root = root[touched]
+    view_of = (np.searchsorted(offsets, touched, side="right") - 1).astype(np.int64)
+    feat_of = touched - offsets[view_of]
 
-    groups: dict = {}
-    for node in touched:
-        root = uf.find(int(node))
-        groups.setdefault(root, []).append(int(node))
+    # Group by root; drop singleton groups and groups with duplicate views
+    order = np.argsort(t_root, kind="stable")
+    r = t_root[order]
+    v = view_of[order]
+    f = feat_of[order]
+    starts = np.flatnonzero(np.concatenate([[True], r[1:] != r[:-1]]))
+    ends = np.concatenate([starts[1:], [len(r)]])
 
-    view_of = np.searchsorted(offsets, np.arange(offsets[-1]), side="right") - 1
+    # Conflict detection: within a group, any duplicated view invalidates it
+    pair_key = r * (np.max(view_of) + 2) + v
+    sorted_pairs = np.sort(pair_key)
+    dup_keys = sorted_pairs[1:][sorted_pairs[1:] == sorted_pairs[:-1]]
+    conflicted_roots = set((dup_keys // (np.max(view_of) + 2)).tolist())
 
     tracks = []
-    for members in groups.values():
-        if len(members) < 2:
+    for s, e in zip(starts, ends):
+        if e - s < 2 or int(r[s]) in conflicted_roots:
             continue
-        views = [int(view_of[m]) for m in members]
-        if len(set(views)) != len(views):
-            continue  # conflict: two features in one view → invalid track
-        tracks.append([(v, int(m - offsets[v])) for v, m in zip(views, members)])
+        tracks.append([(int(v[k]), int(f[k])) for k in range(s, e)])
     return tracks

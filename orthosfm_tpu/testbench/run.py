@@ -1,0 +1,93 @@
+"""Testbench CLI — mirror of the reference orthosfm-testbench
+(src/testbench/testbench.cpp:15-77).
+
+Usage:
+    python -m orthosfm_tpu.testbench.run PROJECT_FOLDER DATASET_FOLDER [--synthetic]
+
+--synthetic runs the in-process noise-robustness sweep (no images needed);
+otherwise the full-pipeline dataset evaluation runs the CLI app as a
+subprocess per dataset/config/repetition. With --generate, hermetic
+textured-sphere datasets (incl. references.txt) are rendered into
+DATASET_FOLDER first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="orthosfm-tpu-testbench")
+    p.add_argument("project_folder")
+    p.add_argument("dataset_folder")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run synthetic robustness tests instead of full pipeline")
+    p.add_argument("--generate", action="store_true",
+                   help="render hermetic test datasets into the dataset folder")
+    p.add_argument("--noise-samples", type=int, default=101)
+    p.add_argument("--max-noise", type=float, default=100.0)
+    p.add_argument("--repetitions", type=int, default=5)
+    p.add_argument("--num-views", type=int, default=8)
+    p.add_argument("--platform", default="")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    os.makedirs(args.project_folder, exist_ok=True)
+
+    if args.synthetic:
+        import numpy as np
+
+        from orthosfm_tpu.testbench import synthetic_tests
+
+        results = synthetic_tests.run_noise_sweep(
+            noise_levels=np.linspace(0.0, args.max_noise, args.noise_samples))
+        out_csv = os.path.join(args.project_folder, "synthetic_results.csv")
+        synthetic_tests.save_results(results, out_csv)
+        synthetic_tests.save_plot(
+            results, os.path.join(args.project_folder, "synthetic_results.png"))
+        print(f"Wrote {out_csv}")
+        return 0
+
+    from orthosfm_tpu.testbench import full_pipeline
+
+    dataset_names = []
+    if args.generate:
+        from orthosfm_tpu.testbench import render
+
+        for name, ring in (("SphereCircle", 360.0), ("SphereArc", 120.0)):
+            # A closed ring needs enough views that neighbours still match
+            # (≤ ~30° apart); an arc can use the requested count directly.
+            n_views = max(args.num_views, 12) if ring >= 300 else args.num_views
+            ds_dir = os.path.join(args.dataset_folder, name)
+            gt = render.make_image_dataset(
+                os.path.join(ds_dir, "images"), num_views=n_views,
+                seed=hash(name) % 1000, ring_degrees=ring)
+            names = [f"view_{i:02d}.png" for i in range(n_views)]
+            full_pipeline.write_references(
+                os.path.join(ds_dir, "references.txt"), gt, names)
+            dataset_names.append(name)
+    else:
+        dataset_names = [d for d in sorted(os.listdir(args.dataset_folder))
+                         if os.path.isdir(os.path.join(args.dataset_folder, d))]
+
+    configs = [full_pipeline.RunConfiguration(name="Quaternion", solver=0,
+                                              extra_args=("--platform", "cpu")
+                                              if os.environ.get("ORTHOSFM_TB_CPU")
+                                              else ())]
+    results = full_pipeline.run_full_pipeline_tests(
+        args.project_folder, args.dataset_folder, dataset_names, configs,
+        repetitions=args.repetitions)
+    out_csv = os.path.join(args.project_folder, "results.csv")
+    full_pipeline.save_results_csv(results, out_csv)
+    print(f"Wrote {out_csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
