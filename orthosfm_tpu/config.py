@@ -131,6 +131,14 @@ class MatchingConfig:
     ransac_f_iterations: int = 1000
     ransac_f_threshold: float = 0.0015  # on normalized coords
     min_pair_inliers_to_accept: int = 8
+    # Alternate CudaSift-style verification (reference: useMveForMatching=false
+    # branch, src/matching/matching.cpp:160-215): RANSAC homography at pixel
+    # threshold 30 with a >50-inlier pair gate
+    pair_verification: str = "fundamental"  # or "homography"
+    homography_iterations: int = 10000
+    homography_threshold_px: float = 30.0
+    homography_find_threshold_px: float = 60.0
+    homography_min_inliers: int = 50
 
 
 @dataclasses.dataclass(frozen=True)

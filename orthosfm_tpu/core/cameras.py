@@ -155,6 +155,35 @@ def spherical_matrix(angles):
     return Rz @ Rx @ Rr
 
 
+def spherical_matrix_derivs(angles):
+    """∂S/∂(phi, theta, roll) for S = Rz(φ)·Rx(θ+π/2)·Rz(ρ).
+
+    angles: (..., 3) → (..., 3 param, 3, 3). Used by the analytic BA
+    Jacobians (solvers/ba.py) in place of per-observation autodiff.
+    """
+    phi, theta, roll = angles[..., 0], angles[..., 1], angles[..., 2]
+    omega = theta + 0.5 * jnp.pi
+    cph, sph = jnp.cos(phi), jnp.sin(phi)
+    com, som = jnp.cos(omega), jnp.sin(omega)
+    crl, srl = jnp.cos(roll), jnp.sin(roll)
+    z = jnp.zeros_like(phi)
+    o = jnp.ones_like(phi)
+
+    def mat(rows):
+        return jnp.stack([jnp.stack(r, -1) for r in rows], -2)
+
+    Rz = mat([[cph, -sph, z], [sph, cph, z], [z, z, o]])
+    Rx = mat([[o, z, z], [z, com, -som], [z, som, com]])
+    Rr = mat([[crl, -srl, z], [srl, crl, z], [z, z, o]])
+    dRz = mat([[-sph, -cph, z], [cph, -sph, z], [z, z, z]])
+    dRx = mat([[z, z, z], [z, -som, -com], [z, com, -som]])
+    dRr = mat([[-srl, -crl, z], [crl, -srl, z], [z, z, z]])
+    dS_phi = dRz @ Rx @ Rr
+    dS_theta = Rz @ dRx @ Rr
+    dS_roll = Rz @ Rx @ dRr
+    return jnp.stack([dS_phi, dS_theta, dS_roll], axis=-3)
+
+
 def basis_to_phi_theta_roll(basis, apply_coordinate_transform: bool = True):
     """World-axes basis (columns x,y,z) -> (phi, theta, roll)
     (reference: OrthographicCamera.cpp:151-181)."""

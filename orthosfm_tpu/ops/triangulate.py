@@ -33,7 +33,9 @@ def intersect_rays(origins, directions, mask):
     # Small ridge keeps the solve defined for degenerate (parallel/too-few ray)
     # bundles; those results are masked out by `valid` anyway.
     R = R + 1e-8 * eye
-    pts = jnp.linalg.solve(R, q[..., None])[..., 0]
+    from orthosfm_tpu.solvers.ba import solve3x3
+
+    pts = solve3x3(R, q)
     return pts, valid
 
 

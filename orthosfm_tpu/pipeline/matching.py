@@ -175,15 +175,29 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
 
             idx_i = np.flatnonzero(m12 >= 0)
             idx_j = m12[idx_i]
-            p1 = jnp.asarray(_padded(fi.norm_xy[idx_i], _bucket(len(idx_i), 256)))
-            p2 = jnp.asarray(_padded(fj.norm_xy[idx_j], p1.shape[0]))
-            valid = jnp.arange(p1.shape[0]) < len(idx_i)
             key, k = jax.random.split(key)
-            res = ransac_f.ransac_fundamental(
-                p1, p2, valid, k, iterations=m.ransac_f_iterations,
-                threshold=m.ransac_f_threshold)
+            if m.pair_verification == "homography":
+                # CudaSift-style verification on pixel coordinates
+                from orthosfm_tpu.ops import ransac_h
+
+                p1 = jnp.asarray(_padded(fi.xy[idx_i], _bucket(len(idx_i), 256)))
+                p2 = jnp.asarray(_padded(fj.xy[idx_j], p1.shape[0]))
+                valid = jnp.arange(p1.shape[0]) < len(idx_i)
+                res = ransac_h.find_homography(
+                    p1, p2, valid, k, iterations=m.homography_iterations,
+                    threshold_px=m.homography_threshold_px,
+                    find_threshold_px=m.homography_find_threshold_px)
+                min_required = m.homography_min_inliers
+            else:
+                p1 = jnp.asarray(_padded(fi.norm_xy[idx_i], _bucket(len(idx_i), 256)))
+                p2 = jnp.asarray(_padded(fj.norm_xy[idx_j], p1.shape[0]))
+                valid = jnp.arange(p1.shape[0]) < len(idx_i)
+                res = ransac_f.ransac_fundamental(
+                    p1, p2, valid, k, iterations=m.ransac_f_iterations,
+                    threshold=m.ransac_f_threshold)
+                min_required = max(m.min_pair_inliers_to_accept, m.min_matching_inliers)
             n_inl = int(res.num_inliers)
-            if n_inl < max(m.min_pair_inliers_to_accept, m.min_matching_inliers):
+            if n_inl < min_required:
                 if verbose:
                     print(f"Pair ({i},{j}) rejected, {n_inl} inliers below "
                           f"threshold {max(8, m.min_matching_inliers)}.")
@@ -203,9 +217,10 @@ def build_tracks(views: List[View], config: ReconstructionConfig,
     features = [extract_view_features(v, config) for v in views]
     if verbose:
         for v, f in zip(views, features):
-            print(f"{v.display_name} {f.desc.shape[0]} features")
+            print(f"{v.display_name} {f.count} features "
+                  f"({f.n_sift} SIFT + {f.count - f.n_sift} SURF)")
     pair_matches = match_all_pairs(features, config, verbose=verbose)
-    feature_counts = [f.desc.shape[0] for f in features]
+    feature_counts = [f.count for f in features]
     raw_tracks = tracks_build.build_tracks(pair_matches, feature_counts)
 
     view_ids = np.asarray([v.view_id for v in views], np.int32)

@@ -92,6 +92,33 @@ def _obs_residual(kind, rot, offset, scale, w, h, p_hat, obs, dc, dp):
     return jnp.stack([w, h]) * xy - obs
 
 
+def inv3x3(M):
+    """Closed-form batched 3×3 inverse (adjugate/det).
+
+    jnp.linalg.inv lowers to batched LU on TPU which serializes badly; the
+    cofactor form is pure fused elementwise arithmetic on the VPU.
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
+def solve3x3(M, y):
+    """Batched 3×3 solve via the closed-form inverse."""
+    return jnp.einsum("...ij,...j->...i", inv3x3(M), y)
+
+
 class _Blocks(NamedTuple):
     r: jnp.ndarray  # (T, V, 2) raw residuals
     Jc: jnp.ndarray  # (T, V, 2, 6)
@@ -99,7 +126,83 @@ class _Blocks(NamedTuple):
     weight: jnp.ndarray  # (T, V) IRLS robust weights (0 where masked)
 
 
-def _residuals_and_jacobians(cams: cam_mod.CameraSet, points_hat, obs, mask, huber_delta):
+def _residuals_and_jacobians(cams: cam_mod.CameraSet, points_hat, obs, mask,
+                             huber_delta):
+    """Closed-form batched residuals + manifold Jacobians.
+
+    Everything is a handful of large einsums over (T, V) instead of
+    per-observation autodiff — the MXU-friendly formulation. Derivation
+    (pix = wh·(−(Rᵀp/s − off)/2 + 0.5), r = pix − obs):
+
+      ∂pix/∂local_xy = diag(−wh/2s) =: a
+      quaternion tangent (q ← exp(δ)⊗q): ∂local/∂δ = Rᵀ[p]ₓ
+      Euler angles:                      ∂local/∂angleₖ = ∂Sₖᵀ·(C·p)
+      ∂pix/∂off = diag(wh/2);   ∂pix/∂s = −a·local_xy/s
+      point tangent: ∂local/∂ε = Rᵀ·J₃·B with J₃ = [I/w | −p₃/w] (dehomog)
+      and B the S³ tangent basis.
+
+    Verified against the jacfwd formulation in tests/test_ba.py.
+    """
+    dtype = obs.dtype
+    R = cam_mod.rotation_l2w(cams)  # (V, 3, 3)
+    w_comp = points_hat[..., 3:4]
+    safe_w = jnp.where(jnp.abs(w_comp) < 1e-12,
+                       jnp.where(w_comp < 0, -1e-12, 1e-12), w_comp)
+    p3 = points_hat[..., :3] / safe_w  # (T, 3)
+
+    local = jnp.einsum("vij,ti->tvj", R, p3)  # (T, V, 3) = Rᵀ p3
+    s = cams.scale  # (V,)
+    wh = jnp.stack([cams.width, cams.height], -1)  # (V, 2)
+    off = cams.offset  # (V, 2)
+    proj = local[..., :2] / s[None, :, None]
+    pix = wh[None] * (-(proj - off[None]) * 0.5 + 0.5)
+    r = pix - obs
+
+    a = -wh / (2.0 * s[:, None])  # (V, 2) pix/local_xy scale
+
+    if cams.kind == "quat":
+        # Rᵀ[p3]ₓ — contract rows of R (transpose via index order)
+        P = jnp.zeros((p3.shape[0], 3, 3), dtype)
+        x, y, z = p3[:, 0], p3[:, 1], p3[:, 2]
+        P = jnp.stack([
+            jnp.stack([jnp.zeros_like(x), -z, y], -1),
+            jnp.stack([z, jnp.zeros_like(x), -x], -1),
+            jnp.stack([-y, x, jnp.zeros_like(x)], -1),
+        ], -2)  # [p]ₓ (T, 3, 3)
+        dl_rot = jnp.einsum("vja,tjk->tvak", R, P)  # (T, V, 3, 3)
+    else:
+        dS = cam_mod.spherical_matrix_derivs(cams.rot[..., :3])  # (V, 3, 3, 3)
+        Cp = p3 @ cam_mod.COORD_TRANSFORM.astype(dtype).T  # (T, 3) = C·p3
+        # ∂localₐ/∂angleₖ = Σ_b dSₖ[b, a]·(Cp)_b
+        dl_rot = jnp.einsum("vkba,tb->tvak", dS, Cp)  # (T, V, 3, 3)
+
+    Jc = jnp.zeros(r.shape[:2] + (2, 6), dtype)
+    Jc = Jc.at[..., :, 0:3].set(a[None, :, :, None] * dl_rot[:, :, :2, :])
+    eye2 = jnp.eye(2, dtype=dtype)
+    Jc = Jc.at[..., :, 3:5].set((wh[:, :, None] * 0.5 * eye2[None])[None])
+    Jc = Jc.at[..., :, 5].set(-a[None] * local[..., :2] / s[None, :, None])
+
+    B = point_tangent_basis(points_hat)  # (T, 4, 3)
+    J34 = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=dtype), (p3.shape[0], 3, 3)) / safe_w[..., None],
+         -(p3 / safe_w)[..., None]], axis=-1)  # (T, 3, 4)
+    J3 = J34 @ B  # (T, 3, 3)
+    dl_pt = jnp.einsum("vja,tjk->tvak", R, J3)  # (T, V, 3, 3)
+    Jp = a[None, :, :, None] * dl_pt[:, :, :2, :]
+
+    r = jnp.where(mask[..., None], r, 0.0)
+    Jc = jnp.where(mask[..., None, None], Jc, 0.0)
+    Jp = jnp.where(mask[..., None, None], Jp, 0.0)
+    rnorm = jnp.linalg.norm(r, axis=-1)
+    wgt = jnp.where(rnorm <= huber_delta, 1.0, huber_delta / jnp.maximum(rnorm, 1e-20))
+    wgt = jnp.where(mask, wgt, 0.0)
+    return _Blocks(r=r, Jc=Jc, Jp=Jp, weight=wgt)
+
+
+def _residuals_and_jacobians_autodiff(cams: cam_mod.CameraSet, points_hat, obs,
+                                      mask, huber_delta):
+    """jacfwd reference implementation (kept for cross-checking the analytic
+    Jacobians in tests)."""
     kind = cams.kind
     f = functools.partial(_obs_residual, kind)
 
@@ -181,7 +284,7 @@ def schur_solve(U, Wc, Vt, g_c, g_p, free_c, lam, optimize_points: bool,
     V_d = Vt + lam * dV[..., None] * eye3 + 1e-10 * eye3
 
     if optimize_points:
-        V_inv = jnp.linalg.inv(V_d)  # (T, 3, 3) — batched tiny inverses
+        V_inv = inv3x3(V_d)  # (T, 3, 3) — closed-form batched inverses
     else:
         V_inv = jnp.zeros_like(V_d)
 
@@ -297,3 +400,33 @@ def reprojection_errors(cams: cam_mod.CameraSet, points4, obs, mask):
     (reference: OrthographicReconstructionAlgorithm.cpp:204-223)."""
     r = _project_residuals(cams, points4, obs)
     return jnp.where(mask, jnp.linalg.norm(r, axis=-1), 0.0)
+
+
+def run_even_odd(cams: cam_mod.CameraSet, points4, obs, mask,
+                 optimize_points: bool = True,
+                 config: BundleAdjustConfig = BundleAdjustConfig(),
+                 fix_first_two: bool = False) -> BAResult:
+    """Alternating even/odd-camera bundle adjustment
+    (reference: bundle_adjustment.cpp:163-198 runEvenOddBundleAdjustment —
+    present in the reference API though its call sites are commented out).
+
+    Fixes even cameras, solves; fixes odd cameras, solves; restores the
+    original fixed flags (plus optionally the first two) and solves once more.
+    """
+    n = len(cams)
+    idx = jnp.arange(n)
+    first_two = fix_first_two & (idx < 2)
+    orig_fixed = cams.fixed
+
+    even = (idx % 2 == 0) | first_two
+    r1 = run(cams.replace(fixed=even), points4, obs, mask,
+             optimize_points=optimize_points, config=config)
+    odd = (idx % 2 != 0) | first_two
+    r2 = run(r1.cams.replace(fixed=odd), r1.points, obs, mask,
+             optimize_points=optimize_points, config=config)
+    final_fixed = orig_fixed | first_two
+    r3 = run(r2.cams.replace(fixed=final_fixed), r2.points, obs, mask,
+             optimize_points=optimize_points, config=config)
+    return BAResult(cams=r3.cams, points=r3.points, cost=r3.cost,
+                    initial_cost=r1.initial_cost,
+                    iterations=r1.iterations + r2.iterations + r3.iterations)

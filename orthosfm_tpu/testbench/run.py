@@ -30,6 +30,8 @@ def main(argv=None) -> int:
     p.add_argument("--max-noise", type=float, default=100.0)
     p.add_argument("--repetitions", type=int, default=5)
     p.add_argument("--num-views", type=int, default=8)
+    p.add_argument("--width", type=int, default=320,
+                   help="generated dataset image size")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 
@@ -67,6 +69,7 @@ def main(argv=None) -> int:
             ds_dir = os.path.join(args.dataset_folder, name)
             gt = render.make_image_dataset(
                 os.path.join(ds_dir, "images"), num_views=n_views,
+                width=args.width, height=args.width,
                 seed=hash(name) % 1000, ring_degrees=ring)
             names = [f"view_{i:02d}.png" for i in range(n_views)]
             full_pipeline.write_references(
