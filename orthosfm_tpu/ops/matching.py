@@ -5,8 +5,9 @@ hashing: src/mve/sfm/{matching,exhaustive_matching,cascade_hashing}.*;
 CudaSift: src/cuda_sift/matching.cu). On TPU the brute-force descriptor
 product IS the fast path — one (N1, 128)×(128, N2) MXU matmul replaces the
 LSH machinery entirely; top-2 selection, Lowe ratio on squared distances
-(MVE matching.h:126-142) and the mutual cross-check
-(matching.cc:18-36) are fused reductions.
+(MVE matching.h:126-142) and the mutual cross-check (matching.cc:18-36) are
+fused reductions. On TPU backends the product+top-2 runs as a fused Pallas
+kernel (matching_pallas.py) that never materializes the similarity matrix.
 """
 
 from __future__ import annotations
@@ -18,14 +19,7 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("lowe_ratio",))
-def match_pair(desc1, valid1, desc2, valid2, lowe_ratio: float = 0.8):
-    """Two-way matching with Lowe ratio + consistency check.
-
-    desc: (N, 128) L2-normalized descriptors; valid: (N,) masks.
-    Returns matches_12: (N1,) int32 index into set 2, −1 for unmatched —
-    only mutually-consistent matches survive (MVE twoway_match +
-    remove_inconsistent_matches).
-    """
+def _match_pair_xla(desc1, valid1, desc2, valid2, lowe_ratio: float = 0.8):
     big = jnp.asarray(4.0, desc1.dtype)  # > max possible squared distance
 
     def oneway(dA, vA, dB, vB):
@@ -39,10 +33,41 @@ def match_pair(desc1, valid1, desc2, valid2, lowe_ratio: float = 0.8):
 
     m12 = oneway(desc1, valid1, desc2, valid2)
     m21 = oneway(desc2, valid2, desc1, valid1)
-    # Mutual consistency: m21[m12[i]] == i
     back = jnp.where(m12 >= 0, m21[jnp.clip(m12, 0, m21.shape[0] - 1)], -2)
     consistent = back == jnp.arange(m12.shape[0])
     return jnp.where(consistent, m12, -1)
+
+
+def _match_pair_pallas(desc1, valid1, desc2, valid2, lowe_ratio: float = 0.8):
+    from orthosfm_tpu.ops import matching_pallas as mp
+
+    def oneway(dA, vA, dB, vB):
+        best, second, idx = mp.oneway_top2(dA, vA, dB, vB)
+        d_best = jnp.maximum(2.0 - 2.0 * best, 0.0)
+        d_second = jnp.maximum(2.0 - 2.0 * second, 0.0)
+        # best ≤ −2 means every candidate carried the invalid bias
+        ok = (d_best <= lowe_ratio * lowe_ratio * d_second) & vA & (best > -2.0)
+        return jnp.where(ok, idx, -1)
+
+    m12 = oneway(desc1, valid1, desc2, valid2)
+    m21 = oneway(desc2, valid2, desc1, valid1)
+    back = jnp.where(m12 >= 0, m21[jnp.clip(m12, 0, m21.shape[0] - 1)], -2)
+    consistent = back == jnp.arange(m12.shape[0])
+    return jnp.where(consistent, m12, -1)
+
+
+def match_pair(desc1, valid1, desc2, valid2, lowe_ratio: float = 0.8):
+    """Two-way matching with Lowe ratio + consistency check.
+
+    desc: (N, 128) L2-normalized descriptors; valid: (N,) masks.
+    Returns matches_12: (N1,) int32 index into set 2, −1 for unmatched —
+    only mutually-consistent matches survive (MVE twoway_match +
+    remove_inconsistent_matches). Dispatches to the fused Pallas kernel on
+    TPU backends, plain XLA elsewhere.
+    """
+    if jax.default_backend() not in ("cpu",):
+        return _match_pair_pallas(desc1, valid1, desc2, valid2, lowe_ratio)
+    return _match_pair_xla(desc1, valid1, desc2, valid2, lowe_ratio)
 
 
 def count_matches(m12):
