@@ -46,6 +46,7 @@ def make_sharded_ba(mesh, optimize_points: bool = True,
         shard_map, mesh=mesh,
         in_specs=(replicated, sharded0, sharded0, sharded0),
         out_specs=(replicated, sharded0, replicated, replicated, replicated),
+        check_vma=False,
     )
     def _run(cams, points4, obs, mask):
         dtype = obs.dtype

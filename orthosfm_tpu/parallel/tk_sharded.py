@@ -1,0 +1,85 @@
+"""Distributed Tomasi-Kanade RANSAC: hypotheses sharded over the mesh.
+
+The reference parallelizes RANSAC iterations with OpenMP threads
+(tomasi_kanade.cpp:225); here each device evaluates its shard of the
+hypothesis batch (sampling → factorization → metric upgrade → triangulation →
+consensus scoring) and only the per-hypothesis scores are all-gathered for
+the argmax — a few hundred floats over ICI per group initialization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from orthosfm_tpu.config import RansacConfig
+from orthosfm_tpu.parallel.mesh import TRACK_AXIS, pad_to_multiple
+from orthosfm_tpu.solvers import tomasi_kanade as tk
+
+
+def make_sharded_tk(mesh, cfg: RansacConfig = RansacConfig()):
+    """Build a jitted distributed robust_factorization over the given mesh.
+
+    Returns run(obs, valid, width, height, key) -> TKResult with the same
+    semantics as solvers.tomasi_kanade.robust_factorization.
+    """
+    n_dev = mesh.devices.size
+    H = pad_to_multiple(cfg.max_iterations, n_dev)
+    S = cfg.sample_size
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(TRACK_AXIS)),
+        out_specs=(P(TRACK_AXIS), P(TRACK_AXIS), P(TRACK_AXIS)),
+        check_vma=False,
+    )
+    def _hypotheses(obs, valid, width, height, keys):
+        def hypothesis(hkey):
+            k_samp, k_q = jax.random.split(hkey)
+            gumbel = jax.random.gumbel(k_samp, (obs.shape[0],))
+            _, samp_idx = jax.lax.top_k(jnp.where(valid, gumbel, -jnp.inf), S)
+            sol1, _ = tk.factorize(obs[samp_idx], jnp.ones((S,), bool), k_q)
+            usable = tk.is_result_usable(sol1, cfg)
+            _, err = tk._triangulate_and_errors(sol1, obs, valid, width, height)
+            in_sample = jnp.zeros((obs.shape[0],), bool).at[samp_idx].set(True)
+            track_ok = jnp.all(err <= cfg.max_inlier_reprojection_error_px, axis=1)
+            consensus = valid & ~in_sample & track_ok
+            n_consensus = jnp.sum(consensus)
+            inlier = consensus | (in_sample & valid)
+            err_sum = jnp.sum(jnp.where(inlier[:, None], err, 0.0))
+            mean_err = err_sum / jnp.maximum(jnp.sum(inlier) * obs.shape[1], 1)
+            ok = usable & (n_consensus >= cfg.min_consensus_size)
+            score = jnp.where(
+                ok,
+                n_consensus.astype(obs.dtype)
+                + (cfg.max_inlier_reprojection_error_px
+                   - jnp.clip(mean_err, 0.0, cfg.max_inlier_reprojection_error_px))
+                / (10.0 * cfg.max_inlier_reprojection_error_px),
+                -jnp.inf)
+            return samp_idx, score, n_consensus
+
+        return jax.vmap(hypothesis)(keys)
+
+    @jax.jit
+    def run(obs, valid, width, height, key) -> tk.TKResult:
+        width = jnp.asarray(width, obs.dtype)
+        height = jnp.asarray(height, obs.dtype)
+        keys = jax.random.split(key, H + 1)
+        samp_idx, scores, n_con = _hypotheses(obs, valid, width, height, keys[:H])
+        best = jnp.argmax(scores)
+        found = scores[best] > -jnp.inf
+        best_obs = obs[samp_idx[best]]
+        win1, win2 = tk.factorize(best_obs, jnp.ones((S,), bool),
+                                  jax.random.fold_in(keys[H], 1))
+        fb1, fb2 = tk.factorize(obs, valid, keys[H])
+        return tk.TKResult(
+            model1=jnp.where(found, win1, fb1),
+            model2=jnp.where(found, win2, fb2),
+            num_inliers=jnp.where(found, n_con[best] + S, jnp.sum(valid)),
+            found=found)
+
+    return run

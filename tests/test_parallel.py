@@ -42,3 +42,37 @@ def test_sharded_matches_single_device():
     q_1 = np.asarray(quat.normalize(res_1.cams.rot))
     dots = np.abs(np.sum(q_s * q_1, axis=-1))
     np.testing.assert_allclose(dots, 1.0, atol=1e-4)
+
+
+def test_sharded_tk_matches_expectation():
+    from orthosfm_tpu.config import RansacConfig
+    from orthosfm_tpu.core import cameras as cam_mod
+    from orthosfm_tpu.core import quaternions as quat
+    from orthosfm_tpu.data import synthetic
+    from orthosfm_tpu.parallel import tk_sharded
+    from orthosfm_tpu.solvers import tomasi_kanade as tk
+
+    ds = synthetic.generate_dataset(synthetic.sphere_cloud(200), num_views=6, seed=3)
+    cols = np.array([0, 1, 2])
+    obs = ds.tracks.obs[:, cols, :]
+    valid = ds.tracks.alive & jnp.all(ds.tracks.obs_mask[:, cols], axis=1)
+
+    m = mesh_mod.make_mesh(8)
+    run = tk_sharded.make_sharded_tk(m)
+    res = run(obs, valid, 2048.0, 2048.0, jax.random.PRNGKey(0))
+    assert bool(res.found)
+
+    # model quality vs ground truth (one of the mirror pair must match)
+    R = np.asarray(cam_mod.basis(ds.gt_cameras))[cols]
+    gt = np.einsum("ij,gjk->gik", R[0].T, R)
+
+    def err(model):
+        ang = cam_mod.basis_to_phi_theta_roll(jnp.asarray(model))
+        S = cam_mod.spherical_matrix(ang)
+        R_rec = jnp.asarray(cam_mod.COORD_TRANSFORM.T @ S)
+        ang_gt = cam_mod.basis_to_phi_theta_roll(jnp.asarray(gt))
+        R_gt = cam_mod.COORD_TRANSFORM.T @ cam_mod.spherical_matrix(ang_gt)
+        d = quat.angular_distance(quat.from_matrix(R_rec), quat.from_matrix(R_gt))
+        return float(np.rad2deg(np.asarray(d)).max())
+
+    assert min(err(res.model1), err(res.model2)) < 1.5
