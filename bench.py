@@ -68,6 +68,9 @@ def time_ba(device, cams, points, obs, mask, iters=30, repeats=3):
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     # Make both the TPU (default) and host CPU backends available
     default_devices = jax.devices()
     tpu_dev = default_devices[0]

@@ -40,9 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    if args.platform:
-        import jax
+    import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
     from orthosfm_tpu.config import ReconstructionConfig, SolverType

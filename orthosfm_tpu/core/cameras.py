@@ -413,6 +413,28 @@ def take(cams: CameraSet, indices) -> CameraSet:
     )
 
 
+def format_cameras(cams: CameraSet, mask=None) -> str:
+    """Human-readable camera dump in the reference's print format
+    (OrthographicCamera.cpp:146-149 / OrthoQuaternionCamera.cpp:23-32):
+    angles in degrees via basisToPhiThetaRho, plus offset and scale."""
+    import numpy as np
+
+    angles = np.rad2deg(np.asarray(basis_to_phi_theta_roll(basis(cams))))
+    off = np.asarray(cams.offset)
+    sc = np.asarray(cams.scale)
+    ids = np.asarray(cams.view_ids)
+    lines = []
+    for i in range(len(cams)):
+        if mask is not None and not mask[i]:
+            continue
+        prefix = "Quaternion Camera" if cams.kind == "quat" else "Camera"
+        lines.append(
+            f"{prefix} {int(ids[i])} [phi: {angles[i, 0]:.4g}; "
+            f"theta: {angles[i, 1]:.4g}; roll: {angles[i, 2]:.4g}; "
+            f"offset ({off[i, 0]:.4g}; {off[i, 1]:.4g}); scale: {sc[i]:.4g}]")
+    return "\n".join(lines)
+
+
 def export_matrices(cams: CameraSet):
     """4×4 [X Y Z origin; 0 0 0 1] export matrices
     (reference: src/data_structures/camera_io.cpp:24-36)."""

@@ -12,8 +12,6 @@ and MVE's SSE nearest-neighbour search (src/mve/sfm/nearest_neighbor.cc).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -8,14 +8,12 @@ observation mask instead of list surgery.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from orthosfm_tpu.config import FilterConfig
 from orthosfm_tpu.core import cameras as cam_mod
 from orthosfm_tpu.data import tracks as tracks_mod
 from orthosfm_tpu.ops import triangulate
-from orthosfm_tpu.solvers import ba
 
 
 def filter_outlier_tracks(tracks: tracks_mod.TrackSet,
@@ -68,8 +66,6 @@ def filter_tracks_reprojection_error(
     tracks pass through untouched. Features of cameras outside the set are
     always kept ("no judgement can be made").
     """
-    import numpy as np
-
     cam_cols = jnp.asarray(cam_cols)
     full = tracks_mod.full_size_mask(tracks, cam_cols)
 

@@ -210,6 +210,8 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
         if verbose:
             print(f"  local BA: cost {float(ba_res.initial_cost):.1f} -> "
                   f"{float(ba_res.cost):.1f} in {int(ba_res.iterations)} iters")
+            print("Optimized local alignment:")
+            print(cam_mod.format_cameras(local_cams))
 
         if first_group:
             local_cams = cam_mod.normalize_scene(local_cams)
@@ -248,6 +250,9 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
                     tracks, pres_cams, _cols_for(tracks, pres_ids), config.filters)
 
             global_cams = _normalize_global(global_cams, col_of[insertion_order[0]])
+            if verbose:
+                print("Current Cameras:")
+                print(cam_mod.format_cameras(global_cams, mask=present))
 
     # Final global BA + normalize (reconstruct.cpp:281-282)
     global_cams, tracks, res = _global_ba(global_cams, present, tracks, config)
@@ -255,6 +260,9 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
         print(f"final BA: cost {float(res.initial_cost):.1f} -> {float(res.cost):.1f} "
               f"in {int(res.iterations)} iters")
     global_cams = _normalize_global(global_cams, col_of[insertion_order[0]])
+    if verbose:
+        print("Final Alignment:")
+        print(cam_mod.format_cameras(global_cams, mask=present))
 
     return PoseEstimationResult(cameras=global_cams, present=present,
                                 insertion_order=insertion_order, tracks=tracks)

@@ -162,7 +162,6 @@ def _residuals_and_jacobians(cams: cam_mod.CameraSet, points_hat, obs, mask,
 
     if cams.kind == "quat":
         # Rᵀ[p3]ₓ — contract rows of R (transpose via index order)
-        P = jnp.zeros((p3.shape[0], 3, 3), dtype)
         x, y, z = p3[:, 0], p3[:, 1], p3[:, 2]
         P = jnp.stack([
             jnp.stack([jnp.zeros_like(x), -z, y], -1),
