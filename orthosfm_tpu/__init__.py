@@ -16,6 +16,18 @@ assembling the camera system.
 
 __version__ = "0.1.0"
 
-from orthosfm_tpu.config import ReconstructionConfig, SolverType
+from orthosfm_tpu.config import (BundleAdjustConfig, FilterConfig,
+                                 MatchingConfig, RansacConfig,
+                                 ReconstructionConfig, SolverType)
 
-__all__ = ["ReconstructionConfig", "SolverType", "__version__"]
+__all__ = [
+    "BundleAdjustConfig", "FilterConfig", "MatchingConfig", "RansacConfig",
+    "ReconstructionConfig", "SolverType", "__version__",
+]
+
+
+def reconstruct(config: ReconstructionConfig, verbose: bool = True):
+    """Top-level reconstruction (lazy import keeps `import orthosfm_tpu` light)."""
+    from orthosfm_tpu.pipeline.reconstruct import reconstruct as _reconstruct
+
+    return _reconstruct(config, verbose=verbose)
