@@ -106,3 +106,13 @@ def test_union_find_tracks():
     pm.append((1, 2, np.array([0]), np.array([1])))
     tracks = tracks_build.build_tracks(pm, [2, 2, 2])
     assert tracks == []
+
+
+def test_lowres_subset():
+    import jax.numpy as jnp
+    from orthosfm_tpu.ops import matching as mo
+
+    scale = jnp.asarray(np.array([1.0, 5.0, 3.0, 9.0, 2.0], np.float32))
+    valid = jnp.asarray(np.array([True, True, True, False, True]))
+    idx = np.asarray(mo.lowres_subset(scale, valid, 2))
+    assert set(idx.tolist()) == {1, 2}  # largest valid scales, 9.0 masked out
