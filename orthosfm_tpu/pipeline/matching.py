@@ -235,3 +235,13 @@ def build_tracks(views: List[View], config: ReconstructionConfig,
         track_list.append(feats)
     return tracks_mod.from_feature_lists(track_list, view_ids,
                                          capacity=max(len(track_list), 1))
+
+
+def filter_duplicate_tracks(tracks):
+    """No-op duplicate-track filter.
+
+    API parity with the reference's filterDuplicateTracks, whose hnswlib-based
+    body is fully commented out and which returns its input unchanged
+    (src/matching/matching.cpp:370-436).
+    """
+    return tracks
