@@ -41,11 +41,14 @@ def _match_pair_xla(desc1, valid1, desc2, valid2, lowe_ratio: float = 0.8):
 def _match_pair_pallas(desc1, valid1, desc2, valid2, lowe_ratio: float = 0.8):
     from orthosfm_tpu.ops import matching_pallas as mp
 
+    big = 4.0  # max possible squared distance between unit descriptors
+
     def oneway(dA, vA, dB, vB):
         best, second, idx = mp.oneway_top2(dA, vA, dB, vB)
         d_best = jnp.maximum(2.0 - 2.0 * best, 0.0)
-        d_second = jnp.maximum(2.0 - 2.0 * second, 0.0)
-        # best ≤ −2 means every candidate carried the invalid bias
+        # Clamp like the XLA path: an invalid-biased second-best must act as
+        # distance `big`, not 2−2·(sim−4) ≈ 10, or the ratio test trivializes
+        d_second = jnp.minimum(jnp.maximum(2.0 - 2.0 * second, 0.0), big)
         ok = (d_best <= lowe_ratio * lowe_ratio * d_second) & vA & (best > -2.0)
         return jnp.where(ok, idx, -1)
 
@@ -65,7 +68,7 @@ def match_pair(desc1, valid1, desc2, valid2, lowe_ratio: float = 0.8):
     remove_inconsistent_matches). Dispatches to the fused Pallas kernel on
     TPU backends, plain XLA elsewhere.
     """
-    if jax.default_backend() not in ("cpu",):
+    if jax.default_backend() in ("tpu", "axon"):
         return _match_pair_pallas(desc1, valid1, desc2, valid2, lowe_ratio)
     return _match_pair_xla(desc1, valid1, desc2, valid2, lowe_ratio)
 

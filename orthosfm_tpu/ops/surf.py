@@ -50,12 +50,19 @@ def integral_image(gray01):
     return jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)
 
 
-def _shift(S, dy, dx):
-    """S[y+dy, x+dx] with zero padding out of range (valid pixels are interior
-    anyway thanks to the border handling)."""
+def _shift(S, dy, dx, step: int = 1):
+    """S[y·step+dy, x·step+dx] over the strided output grid, zero-padded out of
+    range (valid pixels are interior anyway thanks to the border handling).
+    Computing directly on the stride-decimated grid avoids 4^octave wasted
+    work in the higher octaves."""
     H, W = S.shape
-    pad = jnp.pad(S, ((abs(dy), abs(dy)), (abs(dx), abs(dx))))
-    return jax.lax.dynamic_slice(pad, (abs(dy) + dy, abs(dx) + dx), (H, W))
+    oh = (H + step - 1) // step
+    ow = (W + step - 1) // step
+    pad = jnp.pad(S, ((abs(dy), abs(dy) + step), (abs(dx), abs(dx) + step)))
+    return jax.lax.slice(pad, (abs(dy) + dy, abs(dx) + dx),
+                         (abs(dy) + dy + (oh - 1) * step + 1,
+                          abs(dx) + dx + (ow - 1) * step + 1),
+                         (step, step))
 
 
 def _response_map(S, fs: int, step: int):
@@ -65,7 +72,7 @@ def _response_map(S, fs: int, step: int):
     H, W = S.shape
 
     def at(dy, dx):
-        return _shift(S, dy, dx)
+        return _shift(S, dy, dx, step)
 
     # filter_dxx: rows y−fs, y+fs−1; cols x−fs−fs2−1 + {0, fs, 2fs, 3fs}
     c0 = -fs - fs2 - 1
@@ -98,13 +105,12 @@ def _response_map(S, fs: int, step: int):
     dxy_t = dxy.astype(jnp.float32) * inv_karea
     resp = dxx_t * dyy_t - HESSIAN_WEIGHT * dxy_t * dxy_t
 
-    # Zero the border (surf.cc:191-199) then subsample by the octave step
+    # Zero the border (surf.cc:191-199); coordinates are full-res x = step·i
     border = fs + fs2 + 1
-    yy = jnp.arange(H)[:, None]
-    xx = jnp.arange(W)[None, :]
+    yy = jnp.arange(resp.shape[0])[:, None] * step
+    xx = jnp.arange(resp.shape[1])[None, :] * step
     ok = (xx >= border) & (xx + border < W) & (yy >= border) & (yy + border < H)
-    resp = jnp.where(ok, resp, 0.0)
-    return resp[::step, ::step]
+    return jnp.where(ok, resp, 0.0)
 
 
 def _octave_responses(S, o: int):
@@ -166,7 +172,8 @@ def _localize_octave(resp, s, y, x, valid, o: int):
         singular = jnp.abs(det) < 1e-5
         sol = jnp.linalg.solve(jnp.where(singular, jnp.eye(3), A), b)
         off_ok = (jnp.max(jnp.abs(sol)) <= 0.5) & ~singular
-        value = nb[1, 1, 1] - 0.5 * jnp.dot(-b, sol)
+        # MVE: dog_value = N9[1][4] - 0.5 * vec_b.dot(vec_x) with vec_b = -g
+        value = nb[1, 1, 1] - 0.5 * jnp.dot(b, sol)
         contrast_ok = value >= CONTRAST_THRESHOLD
         sampling = 2.0**o
         fx = (ix.astype(jnp.float32) + sol[0]) * sampling

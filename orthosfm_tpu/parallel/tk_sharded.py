@@ -72,13 +72,17 @@ def make_sharded_tk(mesh, cfg: RansacConfig = RansacConfig()):
         samp_idx, scores, n_con = _hypotheses(obs, valid, width, height, keys[:H])
         best = jnp.argmax(scores)
         found = scores[best] > -jnp.inf
-        best_obs = obs[samp_idx[best]]
-        win1, win2 = tk.factorize(best_obs, jnp.ones((S,), bool),
-                                  jax.random.fold_in(keys[H], 1))
-        fb1, fb2 = tk.factorize(obs, valid, keys[H])
+
+        def winner(_):
+            k_q = jax.random.split(keys[best])[1]
+            return tk.factorize(obs[samp_idx[best]], jnp.ones((S,), bool), k_q)
+
+        def fallback(_):
+            return tk.factorize(obs, valid, keys[H])
+
+        model1, model2 = jax.lax.cond(found, winner, fallback, None)
         return tk.TKResult(
-            model1=jnp.where(found, win1, fb1),
-            model2=jnp.where(found, win2, fb2),
+            model1=model1, model2=model2,
             num_inliers=jnp.where(found, n_con[best] + S, jnp.sum(valid)),
             found=found)
 

@@ -110,12 +110,13 @@ def initial_alignment(tracks: tracks_mod.TrackSet, ids, widths, heights,
     obs = tracks.obs[:, cols, :]
     valid = tracks_mod.full_size_mask(tracks, cols)
     n_valid = int(jnp.sum(valid))
-    if n_valid < 10:
+    min_tracks = max(10, config.ransac.sample_size)
+    if n_valid < min_tracks:
         raise TooFewTracksError(
-            f"group {list(ids)}: only {n_valid} full-size tracks (<10)")
+            f"group {list(ids)}: only {n_valid} full-size tracks (<{min_tracks})")
 
-    w = float(np.asarray(widths)[0])
-    h = float(np.asarray(heights)[0])
+    w = jnp.asarray(np.asarray(widths, np.float32))
+    h = jnp.asarray(np.asarray(heights, np.float32))
     res = tk.robust_factorization(obs, valid, w, h, key, cfg=config.ransac)
     if global_cams is None:
         model = res.model1

@@ -153,8 +153,12 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
             # (two_view_matching, bundler_matching.cc:146-158)
             if ni * nj > 1_000_000 and fi.n_sift and fj.n_sift:
                 nlow = min(m.lowres_feature_count, fi.n_sift, fj.n_sift)
-                si = np.argsort(-fi.scale[:fi.n_sift])[:nlow]
-                sj = np.argsort(-fj.scale[:fj.n_sift])[:nlow]
+                si = np.asarray(match_ops.lowres_subset(
+                    jnp.asarray(fi.scale[:fi.n_sift]),
+                    jnp.ones(fi.n_sift, bool), nlow))
+                sj = np.asarray(match_ops.lowres_subset(
+                    jnp.asarray(fj.scale[:fj.n_sift]),
+                    jnp.ones(fj.n_sift, bool), nlow))
                 m_low = match_ops.match_pair(
                     jnp.asarray(fi.sift_desc[si]), jnp.ones(nlow, bool),
                     jnp.asarray(fj.sift_desc[sj]), jnp.ones(nlow, bool),
@@ -200,7 +204,7 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
             if n_inl < min_required:
                 if verbose:
                     print(f"Pair ({i},{j}) rejected, {n_inl} inliers below "
-                          f"threshold {max(8, m.min_matching_inliers)}.")
+                          f"threshold {min_required}.")
                 continue
             inl = np.asarray(res.inliers)[: len(idx_i)]
             results.append((i, j, idx_i[inl], idx_j[inl]))

@@ -60,7 +60,9 @@ def factorize(obs, mask, key):
     mean = jnp.sum(D * m[None, :], axis=1, keepdims=True) / count
     D = (D - mean) * m[None, :]
 
-    U, _, _ = jnp.linalg.svd(D, full_matrices=True)
+    # Economy SVD: U is (2G, min(2G, S)) — identical leading columns, and it
+    # avoids materializing the (S, S) right factor for large track sets
+    U, _, _ = jnp.linalg.svd(D, full_matrices=False)
     RStar = U[:, :3]  # (2G, 3)
 
     q0 = jax.random.uniform(key, (9,), minval=-1.0, maxval=1.0, dtype=obs.dtype)
@@ -96,7 +98,7 @@ def is_result_usable(model, cfg: RansacConfig):
     return ~jnp.any((too_close_ang | too_close_basis) & off_diag)
 
 
-def _model_geometry(model, width, height):
+def _model_geometry(model):
     """Basis trio -> (R_l2w (G,3,3), origins, look dirs) through the reference's
     angle-projection path (convertFromAxis → spherical matrix)."""
     angles = cam_mod.basis_to_phi_theta_roll(model)
@@ -109,11 +111,13 @@ def _model_geometry(model, width, height):
 
 def _triangulate_and_errors(model, obs, valid, width, height):
     """Triangulate all tracks under a model and return per-(track, cam)
-    reprojection errors in pixels. obs: (T, G, 2); valid: (T,)."""
-    R, o, look = _model_geometry(model, width, height)
+    reprojection errors in pixels. obs: (T, G, 2); valid: (T,);
+    width/height: (G,) per-camera image sizes."""
+    R, o, look = _model_geometry(model)
     G = obs.shape[1]
-    wh = jnp.stack([width, height])
-    norm = -2.0 * (obs / wh - 0.5)  # (T, G, 2) offset=0, scale=1
+    wh = jnp.stack([jnp.broadcast_to(width, (G,)),
+                    jnp.broadcast_to(height, (G,))], -1)  # (G, 2)
+    norm = -2.0 * (obs / wh[None] - 0.5)  # (T, G, 2) offset=0, scale=1
     origins = o[None] + norm[..., 0:1] * R[None, ..., :, 0] + norm[..., 1:2] * R[None, ..., :, 1]
     dirs = jnp.broadcast_to(look[None], origins.shape)
     mask_rays = jnp.broadcast_to(valid[:, None], obs.shape[:2])
@@ -124,11 +128,13 @@ def _triangulate_and_errors(model, obs, valid, width, height):
     m = mask_rays[..., None, None].astype(obs.dtype)
     A = jnp.sum(proj * m, axis=1) + 1e-8 * eye
     b = jnp.sum(jnp.einsum("tgij,tgj->tgi", proj, origins) * mask_rays[..., None], axis=1)
-    pts = jnp.linalg.solve(A, b[..., None])[..., 0]  # (T, 3)
+    from orthosfm_tpu.solvers.ba import solve3x3
+
+    pts = solve3x3(A, b)  # (T, 3) — closed-form, no batched LU on TPU
 
     local = jnp.einsum("gij,ti->tgj", R, pts)  # Rᵀ·p
     xy = local[..., :2] / (-2.0) + 0.5
-    pix = wh * xy
+    pix = wh[None] * xy
     err = jnp.linalg.norm(pix - obs, axis=-1)  # (T, G)
     return pts, err
 
@@ -195,15 +201,18 @@ def robust_factorization(obs, valid, width, height, key,
     best = jnp.argmax(scores)
     found = scores[best] > -jnp.inf
 
-    # Recompute the winning factorization to obtain both mirror solutions
-    best_obs = obs[samp_idx_all[best]]
-    win1, win2 = factorize(best_obs, jnp.ones((S,), bool), jax.random.fold_in(keys[H], 1))
+    def winner(_):
+        # Recompute the winning factorization (both mirror solutions) with the
+        # SAME metric-upgrade init key the scored hypothesis used, so the
+        # returned model is exactly the one that passed validation
+        k_q = jax.random.split(keys[best])[1]
+        return factorize(obs[samp_idx_all[best]], jnp.ones((S,), bool), k_q)
 
-    # Fallback: factorize over all valid tracks (tomasi_kanade.cpp:361-365)
-    fb1, fb2 = factorize(obs, valid, keys[H])
+    def fallback(_):
+        # Factorize over all valid tracks (tomasi_kanade.cpp:361-365)
+        return factorize(obs, valid, keys[H])
 
-    model1 = jnp.where(found, win1, fb1)
-    model2 = jnp.where(found, win2, fb2)
+    model1, model2 = jax.lax.cond(found, winner, fallback, None)
     return TKResult(model1=model1, model2=model2,
                     num_inliers=jnp.where(found, n_con[best] + S, jnp.sum(valid)),
                     found=found)
@@ -221,7 +230,7 @@ def resolve_ambiguity(model1, model2, global_dir):
         return model1
 
     def local_vec(model):
-        _, o, _ = _model_geometry(model, jnp.asarray(1.0), jnp.asarray(1.0))
+        _, o, _ = _model_geometry(model)
         on = o / jnp.maximum(jnp.linalg.norm(o, axis=-1, keepdims=True), 1e-12)
         return on[1] - on[0]
 
