@@ -16,6 +16,16 @@ assembling the camera system.
 
 __version__ = "0.1.0"
 
+# SfM geometry cannot tolerate bf16 matmul/conv lowering (the TPU default for
+# f32 dots): rotation products pick up ~4e-3 non-orthogonality, the Gaussian
+# pyramid swamps the DoG contrast threshold (0.02/3), and the BA normal
+# equations lose the curvature detail LM needs near convergence. Pin every
+# precision-unspecified dot/conv to full f32 MXU passes; kernels that can
+# safely trade precision for speed opt in explicitly with a precision= arg.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from orthosfm_tpu.config import (BundleAdjustConfig, FilterConfig,
                                  MatchingConfig, RansacConfig,
                                  ReconstructionConfig, SolverType)
