@@ -57,45 +57,14 @@ def make_sharded_ba(mesh, optimize_points: bool = True,
         safe = jnp.array([0.0, 0.0, 0.0, 1.0], dtype)
         p0 = jnp.where(track_valid[:, None], p_hat, safe)
 
-        def cost_of(cams_, p_):
-            r = ba._project_residuals(cams_, p_, obs)
-            return psum(ba.robust_cost(jnp.where(mask_[..., None], r, 0.0),
-                                       mask_, config.huber_delta))
-
-        init_cost = cost_of(cams, p0)
-
-        def cond(state):
-            _, _, _, _, it, done = state
-            return (~done) & (it < config.max_iterations)
-
-        def body(state):
-            cams_, p_, lam, cost, it, done = state
-            blocks = ba._residuals_and_jacobians(cams_, p_, obs, mask_,
-                                                 config.huber_delta)
-            U, Wc, Vt, g_c, g_p = ba.normal_equations(blocks, free_c)
-            U = psum(U)
-            g_c = psum(g_c)
-            delta_c, delta_p = ba.schur_solve(U, Wc, Vt, g_c, g_p, free_c, lam,
-                                              optimize_points, reduce_fn=psum)
-            cams_new = cam_mod.retract(cams_, delta_c.astype(dtype))
-            p_new = ba.retract_point(p_, delta_p.astype(dtype)) if optimize_points else p_
-            new_cost = cost_of(cams_new, p_new)
-            accept = new_cost < cost
-            cams_ = jax.tree.map(lambda a, b: jnp.where(accept, b, a), cams_, cams_new)
-            p_ = jnp.where(accept, p_new, p_)
-            rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
-            done_new = accept & (rel < config.function_tolerance)
-            cost = jnp.where(accept, new_cost, cost)
-            lam = jnp.where(accept,
-                            jnp.maximum(lam * config.lambda_down, config.min_lambda),
-                            jnp.minimum(lam * config.lambda_up, config.max_lambda))
-            done_new = done_new | (~accept & (lam >= config.max_lambda))
-            return (cams_, p_, lam, cost, it + 1, done_new)
-
-        state = (cams, p0, jnp.asarray(config.initial_lambda, dtype), init_cost,
-                 jnp.asarray(0, jnp.int32), jnp.asarray(False))
-        cams_f, p_f, _, cost_f, iters, _ = jax.lax.while_loop(cond, body, state)
-        return cams_f, p_f, cost_f, init_cost, iters
+        # Shard-local transpose to the solver's T-minor layout (no comms);
+        # the LM control flow is replicated, partial reductions psum over ICI.
+        obsT = jnp.transpose(obs, (1, 2, 0))
+        maskT = mask_.T
+        cams_f, p_f, cost_f, init_cost, iters = ba._lm_loop(
+            cams, p0.T, obsT, maskT, free_c, optimize_points, config,
+            reduce_fn=psum, cost_reduce_fn=psum)
+        return cams_f, p_f.T, cost_f, init_cost, iters
 
     @jax.jit
     def run(cams, points4, obs, mask):

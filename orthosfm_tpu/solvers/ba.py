@@ -5,23 +5,32 @@ Ceres SPARSE_SCHUR solve (src/bundle_adjustment/bundle_adjustment.cpp:49-161).
 Design (SURVEY.md §7 step 4):
   - residual per observation r[t,v] = project(cam_v, point_t) − obs[t,v],
     Huber-weighted (δ=1.0, bundle_adjustment.cpp:64) via IRLS weights;
-  - manifold Jacobians via jacfwd of the retraction at zero: cameras use the
-    6-dim tangent of core.cameras.retract (EigenQuaternionParameterization /
-    IdentityParameterization analogs), points use the 3-dim tangent of the
-    unit-sphere in R⁴ (HomogeneousVectorParameterization analog,
+  - analytic manifold Jacobians (cross-checked against jacfwd of the
+    retraction in tests): cameras use the 6-dim tangent of
+    core.cameras.retract (EigenQuaternionParameterization /
+    IdentityParameterization analogs), points the 3-dim tangent of the unit
+    sphere in R⁴ (HomogeneousVectorParameterization analog,
     bundle_adjustment.cpp:90);
-  - normal equations are never materialized per-observation: camera blocks
-    U[v] (6×6), point blocks V[t] (3×3) and couplings W[t,v] (6×3) are batched
-    einsum reductions that XLA maps onto the MXU;
-  - the point blocks are eliminated (Schur), the reduced (6V×6V) camera system
-    solves densely with Jacobi preconditioning, point updates back-substitute
-    in-shard;
+  - the point blocks are eliminated (Schur), the reduced (6V×6V) camera
+    system solves densely with Jacobi preconditioning, point updates
+    back-substitute in-shard;
   - fixed parameters (SetParameterBlockConstant analog) are zeroed Jacobian
     columns + identity rows in the reduced system;
   - the whole LM loop is one lax.while_loop → a single XLA program per
     (T, V) shape, reused across incremental groups.
 
-Multi-chip: ba_sharded.py wraps `normal_equations` in shard_map over the track
+TPU layout: every per-observation tensor keeps the (large) track dimension T
+minor-most — r (V,2,T), Jc (V,2,6,T), Jp (V,2,3,T) — so elementwise work maps
+onto full (8,128) VPU tiles and every contraction over tracks matricizes into
+one large MXU matmul:
+    U      = batched (6 × 2T)·(2T × 6)    per camera,
+    S_red  = (6V × 3T)·(3T × 6V)          one flat matmul,
+    rhs    = (6V × 3T)·(3T,)
+instead of tiny-trailing-dim einsums (which leave the MXU >99% idle). The 3×3
+point blocks invert in closed form on the VPU (no batched LU). Measured on a
+v5e this is ~10× the naive (T,V,2,6)-layout formulation.
+
+Multi-chip: ba_sharded.py wraps the same iteration in shard_map over the track
 axis; U/S/rhs contributions are psum-reduced over ICI while point blocks stay
 device-local.
 """
@@ -43,7 +52,7 @@ TAN_P = 3
 
 
 # ---------------------------------------------------------------------------
-# Homogeneous point manifold
+# Homogeneous point manifold (track-major (T, ...) convenience forms)
 
 
 def point_tangent_basis(p_hat):
@@ -67,7 +76,30 @@ def retract_point(p_hat, delta):
 
 
 # ---------------------------------------------------------------------------
-# Per-observation residual (raw parameters, retraction-composed)
+# Track-minor (..., T) variants — the hot-path layout
+
+
+def point_tangent_basis_T(pT):
+    """(4, T) unit points → (4, 3, T) tangent bases (same construction as
+    point_tangent_basis, T-minor)."""
+    sign = jnp.where(pT[3] >= 0, 1.0, -1.0)  # (T,)
+    e3 = jnp.array([0.0, 0.0, 0.0, 1.0], pT.dtype)
+    v = pT + sign[None, :] * e3[:, None]  # (4, T)
+    vn2 = jnp.maximum(jnp.sum(v * v, axis=0), 1e-20)  # (T,)
+    eye43 = jnp.eye(4, dtype=pT.dtype)[:, :3]
+    return eye43[:, :, None] - 2.0 * v[:, None, :] * v[None, :3, :] / vn2[None, None, :]
+
+
+def retract_point_T(pT, deltaT):
+    """(4, T), (3, T) → (4, T) unit-norm retraction."""
+    B = point_tangent_basis_T(pT)
+    p_new = pT + jnp.einsum("ijt,jt->it", B, deltaT)
+    return p_new / jnp.maximum(jnp.linalg.norm(p_new, axis=0, keepdims=True), 1e-20)
+
+
+# ---------------------------------------------------------------------------
+# Per-observation residual (raw parameters, retraction-composed) — kept as the
+# autodiff reference implementation for the analytic Jacobians.
 
 
 def _obs_residual(kind, rot, offset, scale, w, h, p_hat, obs, dc, dp):
@@ -93,7 +125,7 @@ def _obs_residual(kind, rot, offset, scale, w, h, p_hat, obs, dc, dp):
 
 
 def inv3x3(M):
-    """Closed-form batched 3×3 inverse (adjugate/det).
+    """Closed-form batched 3×3 inverse for (..., 3, 3) stacks (adjugate/det).
 
     jnp.linalg.inv lowers to batched LU on TPU which serializes badly; the
     cofactor form is pure fused elementwise arithmetic on the VPU.
@@ -114,25 +146,57 @@ def inv3x3(M):
     return adj * inv_det[..., None, None]
 
 
+def inv3x3_T(M):
+    """Closed-form 3×3 inverse for a (3, 3, T) stack (T-minor layout)."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    row0 = jnp.stack([A, -(b * i - c * h), b * f - c * e], 0)
+    row1 = jnp.stack([B, a * i - c * g, -(a * f - c * d)], 0)
+    row2 = jnp.stack([C, -(a * h - b * g), a * e - b * d], 0)
+    return jnp.stack([row0, row1, row2], 0) * inv_det[None, None, :]
+
+
 def solve3x3(M, y):
-    """Batched 3×3 solve via the closed-form inverse."""
+    """Batched 3×3 solve via the closed-form inverse ((..., 3, 3) stacks)."""
     return jnp.einsum("...ij,...j->...i", inv3x3(M), y)
 
 
 class _Blocks(NamedTuple):
-    r: jnp.ndarray  # (T, V, 2) raw residuals
-    Jc: jnp.ndarray  # (T, V, 2, 6)
-    Jp: jnp.ndarray  # (T, V, 2, 3)
-    weight: jnp.ndarray  # (T, V) IRLS robust weights (0 where masked)
+    r: jnp.ndarray  # (V, 2, T) raw residuals
+    Jc: jnp.ndarray  # (V, 2, 6, T)
+    Jp: jnp.ndarray  # (V, 2, 3, T)
+    weight: jnp.ndarray  # (V, T) IRLS robust weights (0 where masked)
 
 
-def _residuals_and_jacobians(cams: cam_mod.CameraSet, points_hat, obs, mask,
+def _safe_w(w_comp):
+    return jnp.where(jnp.abs(w_comp) < 1e-12,
+                     jnp.where(w_comp < 0, -1e-12, 1e-12), w_comp)
+
+
+def _project_residuals_T(cams: cam_mod.CameraSet, pT, obsT):
+    """(V, 2, T) raw reprojection residuals; pT is (4, T) homogeneous."""
+    R = cam_mod.rotation_l2w(cams)  # (V, 3, 3)
+    p3 = pT[:3] / _safe_w(pT[3])[None, :]  # (3, T)
+    local = jnp.einsum("vij,it->vjt", R, p3)  # (V, 3, T) = Rᵀ p3
+    s = cams.scale[:, None, None]
+    wh = jnp.stack([cams.width, cams.height], -1)[:, :, None]  # (V, 2, 1)
+    off = cams.offset[:, :, None]
+    pix = wh * (-(local[:, :2] / s - off) * 0.5 + 0.5)
+    return pix - obsT
+
+
+def _residuals_and_jacobians(cams: cam_mod.CameraSet, pT, obsT, maskT,
                              huber_delta):
-    """Closed-form batched residuals + manifold Jacobians.
+    """Closed-form batched residuals + manifold Jacobians, T-minor layout.
 
-    Everything is a handful of large einsums over (T, V) instead of
-    per-observation autodiff — the MXU-friendly formulation. Derivation
-    (pix = wh·(−(Rᵀp/s − off)/2 + 0.5), r = pix − obs):
+    pT (4, T) unit homogeneous points; obsT (V, 2, T); maskT (V, T).
+    Derivation (pix = wh·(−(Rᵀp/s − off)/2 + 0.5), r = pix − obs):
 
       ∂pix/∂local_xy = diag(−wh/2s) =: a
       quaternion tangent (q ← exp(δ)⊗q): ∂local/∂δ = Rᵀ[p]ₓ
@@ -143,65 +207,66 @@ def _residuals_and_jacobians(cams: cam_mod.CameraSet, points_hat, obs, mask,
 
     Verified against the jacfwd formulation in tests/test_ba.py.
     """
-    dtype = obs.dtype
+    dtype = obsT.dtype
+    V = obsT.shape[0]
+    T = obsT.shape[2]
     R = cam_mod.rotation_l2w(cams)  # (V, 3, 3)
-    w_comp = points_hat[..., 3:4]
-    safe_w = jnp.where(jnp.abs(w_comp) < 1e-12,
-                       jnp.where(w_comp < 0, -1e-12, 1e-12), w_comp)
-    p3 = points_hat[..., :3] / safe_w  # (T, 3)
+    sw = _safe_w(pT[3])  # (T,)
+    p3 = pT[:3] / sw[None, :]  # (3, T)
 
-    local = jnp.einsum("vij,ti->tvj", R, p3)  # (T, V, 3) = Rᵀ p3
+    local = jnp.einsum("vij,it->vjt", R, p3)  # (V, 3, T)
     s = cams.scale  # (V,)
     wh = jnp.stack([cams.width, cams.height], -1)  # (V, 2)
     off = cams.offset  # (V, 2)
-    proj = local[..., :2] / s[None, :, None]
-    pix = wh[None] * (-(proj - off[None]) * 0.5 + 0.5)
-    r = pix - obs
+    pix = wh[:, :, None] * (-(local[:, :2] / s[:, None, None] - off[:, :, None]) * 0.5 + 0.5)
+    r = pix - obsT  # (V, 2, T)
 
     a = -wh / (2.0 * s[:, None])  # (V, 2) pix/local_xy scale
 
     if cams.kind == "quat":
-        # Rᵀ[p3]ₓ — contract rows of R (transpose via index order)
-        x, y, z = p3[:, 0], p3[:, 1], p3[:, 2]
-        P = jnp.stack([
-            jnp.stack([jnp.zeros_like(x), -z, y], -1),
-            jnp.stack([z, jnp.zeros_like(x), -x], -1),
-            jnp.stack([-y, x, jnp.zeros_like(x)], -1),
-        ], -2)  # [p]ₓ (T, 3, 3)
-        dl_rot = jnp.einsum("vja,tjk->tvak", R, P)  # (T, V, 3, 3)
+        # ∂local/∂δₖ = (Rᵀ[p]ₓ)[:, k]; [p]ₓ columns: (0,z,−y), (−z,0,x), (y,−x,0)
+        x, y, z = p3[0], p3[1], p3[2]
+        zero = jnp.zeros_like(x)
+        Pcols = jnp.stack([
+            jnp.stack([zero, z, -y], 0),
+            jnp.stack([-z, zero, x], 0),
+            jnp.stack([y, -x, zero], 0),
+        ], 1)  # (j=3, k=3, T)
+        dl_rot = jnp.einsum("vja,jkt->vakt", R, Pcols)  # (V, 3, 3, T)
     else:
         dS = cam_mod.spherical_matrix_derivs(cams.rot[..., :3])  # (V, 3, 3, 3)
-        Cp = p3 @ cam_mod.COORD_TRANSFORM.astype(dtype).T  # (T, 3) = C·p3
+        Cp = jnp.einsum("ab,bt->at", cam_mod.COORD_TRANSFORM.astype(dtype), p3)
         # ∂localₐ/∂angleₖ = Σ_b dSₖ[b, a]·(Cp)_b
-        dl_rot = jnp.einsum("vkba,tb->tvak", dS, Cp)  # (T, V, 3, 3)
+        dl_rot = jnp.einsum("vkba,bt->vakt", dS, Cp)  # (V, 3, 3, T)
 
-    Jc = jnp.zeros(r.shape[:2] + (2, 6), dtype)
-    Jc = Jc.at[..., :, 0:3].set(a[None, :, :, None] * dl_rot[:, :, :2, :])
+    # Jc columns: [rotation (3) | offset (2) | scale (1)]
+    Jc_rot = a[:, :, None, None] * dl_rot[:, :2]  # (V, 2, 3, T)
     eye2 = jnp.eye(2, dtype=dtype)
-    Jc = Jc.at[..., :, 3:5].set((wh[:, :, None] * 0.5 * eye2[None])[None])
-    Jc = Jc.at[..., :, 5].set(-a[None] * local[..., :2] / s[None, :, None])
+    Jc_off = jnp.broadcast_to((wh[:, :, None] * 0.5 * eye2[None])[:, :, :, None],
+                              (V, 2, 2, T))
+    Jc_s = (-a[:, :, None] * local[:, :2] / s[:, None, None])[:, :, None, :]  # (V, 2, 1, T)
+    Jc = jnp.concatenate([Jc_rot, Jc_off, Jc_s], axis=2)  # (V, 2, 6, T)
 
-    B = point_tangent_basis(points_hat)  # (T, 4, 3)
-    J34 = jnp.concatenate(
-        [jnp.broadcast_to(jnp.eye(3, dtype=dtype), (p3.shape[0], 3, 3)) / safe_w[..., None],
-         -(p3 / safe_w)[..., None]], axis=-1)  # (T, 3, 4)
-    J3 = J34 @ B  # (T, 3, 3)
-    dl_pt = jnp.einsum("vja,tjk->tvak", R, J3)  # (T, V, 3, 3)
-    Jp = a[None, :, :, None] * dl_pt[:, :, :2, :]
+    B = point_tangent_basis_T(pT)  # (4, 3, T)
+    # J₃ = [I/w | −p₃/w] (3, 4, T); J3B = J₃·B (3, 3, T)
+    J3B = (B[:3] - p3[:, None, :] * B[3][None]) / sw[None, None, :]
+    dl_pt = jnp.einsum("vja,jkt->vakt", R, J3B)  # (V, 3, 3, T)
+    Jp = a[:, :, None, None] * dl_pt[:, :2]  # (V, 2, 3, T)
 
-    r = jnp.where(mask[..., None], r, 0.0)
-    Jc = jnp.where(mask[..., None, None], Jc, 0.0)
-    Jp = jnp.where(mask[..., None, None], Jp, 0.0)
-    rnorm = jnp.linalg.norm(r, axis=-1)
-    wgt = jnp.where(rnorm <= huber_delta, 1.0, huber_delta / jnp.maximum(rnorm, 1e-20))
-    wgt = jnp.where(mask, wgt, 0.0)
+    m2 = maskT[:, None, :]
+    r = jnp.where(m2, r, 0.0)
+    Jc = jnp.where(m2[:, :, None], Jc, 0.0)
+    Jp = jnp.where(m2[:, :, None], Jp, 0.0)
+    rnorm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, axis=1), 1e-30))  # (V, T)
+    wgt = jnp.where(rnorm <= huber_delta, 1.0, huber_delta / rnorm)
+    wgt = jnp.where(maskT, wgt, 0.0)
     return _Blocks(r=r, Jc=Jc, Jp=Jp, weight=wgt)
 
 
 def _residuals_and_jacobians_autodiff(cams: cam_mod.CameraSet, points_hat, obs,
                                       mask, huber_delta):
-    """jacfwd reference implementation (kept for cross-checking the analytic
-    Jacobians in tests)."""
+    """jacfwd reference implementation in track-major layout (kept for
+    cross-checking the analytic T-minor Jacobians in tests)."""
     kind = cams.kind
     f = functools.partial(_obs_residual, kind)
 
@@ -223,46 +288,60 @@ def _residuals_and_jacobians_autodiff(cams: cam_mod.CameraSet, points_hat, obs,
     Jc = jnp.where(mask[..., None, None], Jc, 0.0)
     Jp = jnp.where(mask[..., None, None], Jp, 0.0)
 
-    # Huber IRLS weight per residual block (δ from config;
-    # w = 1 for ‖r‖ ≤ δ else δ/‖r‖, the sqrt of ρ'(s))
     rnorm = jnp.linalg.norm(r, axis=-1)
     wgt = jnp.where(rnorm <= huber_delta, 1.0, huber_delta / jnp.maximum(rnorm, 1e-20))
     wgt = jnp.where(mask, wgt, 0.0)
-    return _Blocks(r=r, Jc=Jc, Jp=Jp, weight=wgt)
+    return r, Jc, Jp, wgt
 
 
-def robust_cost(r, mask, huber_delta):
-    """½ Σ ρ(‖r‖²) with Huber ρ (Ceres convention)."""
-    s = jnp.sum(r * r, axis=-1)
+def robust_cost(r, mask, huber_delta, comp_axis=1):
+    """½ Σ ρ(‖r‖²) with Huber ρ (Ceres convention). Default layout is T-minor:
+    r (V, 2, T) with mask (V, T); pass comp_axis=-1 for track-major (T, V, 2)."""
+    s = jnp.sum(r * r, axis=comp_axis)
     d2 = huber_delta * huber_delta
     rho = jnp.where(s <= d2, s, 2.0 * huber_delta * jnp.sqrt(jnp.maximum(s, 1e-20)) - d2)
     return 0.5 * jnp.sum(jnp.where(mask, rho, 0.0))
 
 
 def normal_equations(blocks: _Blocks, free_c):
-    """Assemble the Schur-ready blocks.
+    """Assemble the Schur-ready blocks (T-minor layout).
 
     Returns (U, Wc, Vt, g_c, g_p):
-      U (V, 6, 6) camera diag blocks; Wc (T, V, 6, 3) couplings;
-      Vt (T, 3, 3) point blocks; g_c (V, 6); g_p (T, 3) — gradients are
+      U (V, 6, 6) camera diag blocks; Wc (V, 6, 3, T) couplings;
+      Vt (3, 3, T) point blocks; g_c (V, 6); g_p (3, T) — gradients are
       −Jᵀr (the RHS of the GN step). Fixed camera params are projected out.
+
+    Every contraction over tracks is a large matmul (see module docstring).
     """
-    w = blocks.weight[..., None, None]  # (T, V, 1, 1)
-    Jc = blocks.Jc * free_c[None, :, None, :]  # zero fixed columns
+    V = blocks.Jc.shape[0]
+    T = blocks.Jc.shape[3]
+    Jc = blocks.Jc * free_c[:, None, :, None]  # zero fixed columns
     Jp = blocks.Jp
-    U = jnp.einsum("tvki,tvkj,tv->vij", Jc, Jc, blocks.weight)
-    Wc = Jc.transpose(0, 1, 3, 2) @ (Jp * w)  # (T, V, 6, 3)
-    Vt = jnp.einsum("tvki,tvkj,tv->tij", Jp, Jp, blocks.weight)
-    g_c = -jnp.einsum("tvki,tvk,tv->vi", Jc, blocks.r, blocks.weight)
-    g_p = -jnp.einsum("tvki,tvk,tv->ti", Jp, blocks.r, blocks.weight)
+    w = blocks.weight[:, None, None, :]  # (V, 1, 1, T)
+    Jcw = Jc * w
+    Jpw = Jp * w
+
+    # U[v] = Σ_{k,t} w·Jc[v,k,:,t]ᵀJc[v,k,:,t]: batched (6, 2T)·(2T, 6)
+    A = jnp.transpose(Jc, (0, 2, 1, 3)).reshape(V, 6, 2 * T)
+    Aw = jnp.transpose(Jcw, (0, 2, 1, 3)).reshape(V, 6, 2 * T)
+    U = jax.lax.dot_general(Aw, A, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+
+    # Couplings and point blocks: tiny-k fmas, elementwise over T
+    Wc = (Jcw[:, 0, :, None, :] * Jp[:, 0, None, :, :] +
+          Jcw[:, 1, :, None, :] * Jp[:, 1, None, :, :])  # (V, 6, 3, T)
+    Vt = jnp.einsum("vkpt,vkqt->pqt", Jpw, Jp)  # (3, 3, T), K = 2V
+    g_c = -jnp.einsum("vkit,vkt->vi", Jcw, blocks.r)
+    g_p = -jnp.einsum("vkpt,vkt->pt", Jpw, blocks.r)
     return U, Wc, Vt, g_c, g_p
 
 
 def schur_solve(U, Wc, Vt, g_c, g_p, free_c, lam, optimize_points: bool,
                 reduce_fn=None):
-    """LM step via Schur elimination of point blocks.
+    """LM step via Schur elimination of point blocks (T-minor layout).
 
-    Returns (delta_c (V,6), delta_p (T,3)).
+    Takes the normal_equations outputs; returns (delta_c (V, 6),
+    delta_p (3, T)).
 
     ``reduce_fn`` sums partial cross-track contributions across devices
     (jax.lax.psum inside shard_map); U and g_c must already be globally
@@ -271,7 +350,7 @@ def schur_solve(U, Wc, Vt, g_c, g_p, free_c, lam, optimize_points: bool,
     """
     if reduce_fn is None:
         reduce_fn = lambda x: x  # noqa: E731 — single-device: identity
-    T, V = Wc.shape[0], Wc.shape[1]
+    V, T = Wc.shape[0], Wc.shape[3]
     dtype = U.dtype
     eye3 = jnp.eye(3, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
@@ -279,30 +358,35 @@ def schur_solve(U, Wc, Vt, g_c, g_p, free_c, lam, optimize_points: bool,
     # LM damping on the diagonals (Marquardt scaling with floor)
     dU = jnp.maximum(jnp.einsum("vii->vi", U), 1e-8)
     U_d = U + lam * dU[..., None] * eye6
-    dV = jnp.maximum(jnp.einsum("tii->ti", Vt), 1e-8)
-    V_d = Vt + lam * dV[..., None] * eye3 + 1e-10 * eye3
+    dV = jnp.maximum(jnp.stack([Vt[0, 0], Vt[1, 1], Vt[2, 2]], 0), 1e-8)  # (3, T)
+    V_d = Vt + eye3[:, :, None] * (lam * dV + 1e-10)[:, None, :]
 
     if optimize_points:
-        V_inv = inv3x3(V_d)  # (T, 3, 3) — closed-form batched inverses
+        V_inv = inv3x3_T(V_d)  # (3, 3, T) — closed-form, VPU only
     else:
         V_inv = jnp.zeros_like(V_d)
 
-    # Reduced camera system S = blkdiag(U) − Σ_t W_t V_t⁻¹ W_tᵀ  (MXU einsum)
-    WVi = jnp.einsum("tvap,tpq->tvaq", Wc, V_inv)  # (T, V, 6, 3)
-    S_red = reduce_fn(jnp.einsum("tvaq,twbq->vawb", WVi, Wc))  # (V, 6, V, 6)
-    S = -S_red
+    # WVi[v,a,q,t] = Σ_p Wc[v,a,p,t]·V⁻¹[p,q,t]
+    WVi = (Wc[:, :, 0, None, :] * V_inv[None, None, 0] +
+           Wc[:, :, 1, None, :] * V_inv[None, None, 1] +
+           Wc[:, :, 2, None, :] * V_inv[None, None, 2])  # (V, 6, 3, T)
+
+    # Reduced camera system S = blkdiag(U_d) − Σ_t W V⁻¹ Wᵀ: one flat matmul
+    X = WVi.reshape(V * 6, 3 * T)
+    Y = Wc.reshape(V * 6, 3 * T)
+    S_red = reduce_fn(jnp.dot(X, Y.T, preferred_element_type=jnp.float32))
+    S = (-S_red).reshape(V, 6, V, 6)
     S = S.at[jnp.arange(V), :, jnp.arange(V), :].add(U_d)
-    rhs = g_c - reduce_fn(jnp.einsum("tvaq,tq->va", WVi, g_p))  # (V, 6)
+    rhs = g_c.reshape(V * 6) - reduce_fn(X @ g_p.reshape(3 * T))
 
     n = V * 6
     S_f = S.reshape(n, n)
-    rhs_f = rhs.reshape(n)
     free_f = free_c.reshape(n)
 
     # Pin fixed params: identity rows/cols, zero rhs
     fm = free_f.astype(dtype)
     S_f = S_f * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
-    rhs_f = rhs_f * fm
+    rhs_f = rhs * fm
 
     # Jacobi preconditioning for f32 conditioning
     d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diag(S_f)), 1e-12))
@@ -311,8 +395,9 @@ def schur_solve(U, Wc, Vt, g_c, g_p, free_c, lam, optimize_points: bool,
     delta_c = delta_c * free_c.astype(dtype)
 
     # Back-substitute point updates: δp = V⁻¹(g_p − Wᵀ δc)
-    delta_p = jnp.einsum("tpq,tq->tp", V_inv,
-                         g_p - jnp.einsum("tvaq,va->tq", Wc, delta_c))
+    tmp = g_p - (Y.T @ delta_c.reshape(V * 6)).reshape(3, T)  # (3, T)
+    delta_p = (V_inv[:, 0] * tmp[None, 0] + V_inv[:, 1] * tmp[None, 1] +
+               V_inv[:, 2] * tmp[None, 2])  # (3, T)
     return delta_c, delta_p
 
 
@@ -322,6 +407,54 @@ class BAResult(NamedTuple):
     cost: jnp.ndarray
     initial_cost: jnp.ndarray
     iterations: jnp.ndarray
+
+
+def _lm_loop(cams, pT, obsT, maskT, free_c, optimize_points, config,
+             reduce_fn=None, cost_reduce_fn=None):
+    """The shared LM while_loop over T-minor tensors. ``reduce_fn`` /
+    ``cost_reduce_fn`` psum partial results under shard_map (identity when
+    single-device)."""
+    dtype = obsT.dtype
+    cost_red = cost_reduce_fn or (lambda x: x)
+
+    def cost_of(cams_, p_):
+        r = _project_residuals_T(cams_, p_, obsT)
+        r = jnp.where(maskT[:, None, :], r, 0.0)
+        return cost_red(robust_cost(r, maskT, config.huber_delta))
+
+    init_cost = cost_of(cams, pT)
+
+    def cond(state):
+        cams_, p_, lam, cost, it, done = state
+        return (~done) & (it < config.max_iterations)
+
+    def body(state):
+        cams_, p_, lam, cost, it, done = state
+        blocks = _residuals_and_jacobians(cams_, p_, obsT, maskT, config.huber_delta)
+        U, Wc, Vt, g_c, g_p = normal_equations(blocks, free_c)
+        if reduce_fn is not None:
+            U = reduce_fn(U)
+            g_c = reduce_fn(g_c)
+        delta_c, delta_p = schur_solve(U, Wc, Vt, g_c, g_p, free_c, lam,
+                                       optimize_points, reduce_fn=reduce_fn)
+        cams_new = cam_mod.retract(cams_, delta_c.astype(dtype))
+        p_new = retract_point_T(p_, delta_p.astype(dtype)) if optimize_points else p_
+        new_cost = cost_of(cams_new, p_new)
+        accept = new_cost < cost
+        cams_ = jax.tree.map(lambda a, b: jnp.where(accept, b, a), cams_, cams_new)
+        p_ = jnp.where(accept, p_new, p_)
+        rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-20)
+        done_new = accept & (rel_decrease < config.function_tolerance)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * config.lambda_down, config.min_lambda),
+                        jnp.minimum(lam * config.lambda_up, config.max_lambda))
+        done_new = done_new | (~accept & (lam >= config.max_lambda))
+        return (cams_, p_, lam, cost, it + 1, done_new)
+
+    state = (cams, pT, jnp.asarray(config.initial_lambda, dtype), init_cost,
+             jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    cams_f, p_f, _, cost_f, iters, _ = jax.lax.while_loop(cond, body, state)
+    return cams_f, p_f, cost_f, init_cost, iters
 
 
 @functools.partial(jax.jit, static_argnames=("optimize_points", "config"))
@@ -346,49 +479,23 @@ def run(cams: cam_mod.CameraSet, points4, obs, mask,
 
     track_valid = jnp.any(mask, axis=1)
     mask = mask & track_valid[:, None]
-    # Dead/padded tracks get a safe unit point so autodiff through the
-    # point manifold never sees an exactly-zero vector (NaN gradients).
+    # Dead/padded tracks get a safe unit point so the point manifold never
+    # sees an exactly-zero vector (NaN gradients).
     safe = jnp.array([0.0, 0.0, 0.0, 1.0], dtype)
     p_hat = jnp.where(track_valid[:, None], p_hat, safe)
 
-    def cost_of(cams_, p_):
-        pix_r = _project_residuals(cams_, p_, obs)
-        return robust_cost(jnp.where(mask[..., None], pix_r, 0.0), mask, config.huber_delta)
+    obsT = jnp.transpose(obs, (1, 2, 0))  # (V, 2, T)
+    maskT = mask.T  # (V, T)
+    pT = p_hat.T  # (4, T)
 
-    init_cost = cost_of(cams, p_hat)
-
-    def cond(state):
-        cams_, p_, lam, cost, it, done = state
-        return (~done) & (it < config.max_iterations)
-
-    def body(state):
-        cams_, p_, lam, cost, it, done = state
-        blocks = _residuals_and_jacobians(cams_, p_, obs, mask, config.huber_delta)
-        U, Wc, Vt, g_c, g_p = normal_equations(blocks, free_c)
-        delta_c, delta_p = schur_solve(U, Wc, Vt, g_c, g_p, free_c, lam, optimize_points)
-        cams_new = cam_mod.retract(cams_, delta_c.astype(dtype))
-        p_new = retract_point(p_, delta_p.astype(dtype)) if optimize_points else p_
-        new_cost = cost_of(cams_new, p_new)
-        accept = new_cost < cost
-        cams_ = jax.tree.map(lambda a, b: jnp.where(accept, b, a), cams_, cams_new)
-        p_ = jnp.where(accept, p_new, p_)
-        rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-20)
-        done_new = accept & (rel_decrease < config.function_tolerance)
-        cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(accept, jnp.maximum(lam * config.lambda_down, config.min_lambda),
-                        jnp.minimum(lam * config.lambda_up, config.max_lambda))
-        done_new = done_new | (~accept & (lam >= config.max_lambda))
-        return (cams_, p_, lam, cost, it + 1, done_new)
-
-    state = (cams, p_hat, jnp.asarray(config.initial_lambda, dtype), init_cost,
-             jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    cams_f, p_f, _, cost_f, iters, _ = jax.lax.while_loop(cond, body, state)
-    return BAResult(cams=cams_f, points=p_f, cost=cost_f, initial_cost=init_cost,
+    cams_f, p_f, cost_f, init_cost, iters = _lm_loop(
+        cams, pT, obsT, maskT, free_c, optimize_points, config)
+    return BAResult(cams=cams_f, points=p_f.T, cost=cost_f, initial_cost=init_cost,
                     iterations=iters)
 
 
 def _project_residuals(cams: cam_mod.CameraSet, points4, obs):
-    """(T, V, 2) raw reprojection residuals for all pairs."""
+    """(T, V, 2) raw reprojection residuals for all pairs (track-major)."""
     pix = cam_mod.project(cams, points4)  # (V, T, 2)
     return jnp.transpose(pix, (1, 0, 2)) - obs
 

@@ -81,6 +81,43 @@ def test_ba_fixed_camera_stays_fixed():
     assert int(res.iterations) >= 1
 
 
+@pytest.mark.parametrize("solver", [SolverType.ORTHO_QUATERNION, SolverType.ORTHO_EULER_ALL_DOF])
+def test_analytic_jacobians_match_autodiff(solver):
+    """The T-minor analytic Jacobians must agree with jacfwd of the
+    retraction-composed residual."""
+    ds = synthetic.generate_dataset("Cube", num_views=5, seed=7)
+    ts = _subsample(ds.tracks, 64)
+    if solver.is_quaternion:
+        e = cam_mod.make_euler(np.arange(5), 2048, 2048,
+                               angles=np.asarray(ds.gt_cameras.rot[:, :3]))
+        cams = cam_mod.make_quaternion(np.arange(5), 2048, 2048,
+                                       q=quat.from_matrix(cam_mod.basis(e)))
+    else:
+        cams = ds.gt_cameras
+    ts = triangulate.triangulate_tracks(cams, ts, np.arange(5))
+    mask = ts.obs_mask & ts.alive[:, None] & ts.has_point[:, None]
+    # Perturb observations so residuals/weights are non-trivial
+    obs = ts.obs + 2.5
+    p_hat = ts.points / jnp.maximum(
+        jnp.linalg.norm(ts.points, axis=-1, keepdims=True), 1e-20)
+    p_hat = jnp.where(jnp.any(mask, axis=1)[:, None], p_hat,
+                      jnp.array([0.0, 0.0, 0.0, 1.0]))
+
+    r_ref, Jc_ref, Jp_ref, w_ref = ba._residuals_and_jacobians_autodiff(
+        cams, p_hat, obs, mask, 1.0)
+    blocks = ba._residuals_and_jacobians(
+        cams, p_hat.T, jnp.transpose(obs, (1, 2, 0)), mask.T, 1.0)
+
+    np.testing.assert_allclose(np.asarray(jnp.transpose(blocks.r, (2, 0, 1))),
+                               np.asarray(r_ref), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(blocks.Jc, (3, 0, 1, 2))),
+                               np.asarray(Jc_ref), rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(blocks.Jp, (3, 0, 1, 2))),
+                               np.asarray(Jp_ref), rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(blocks.weight.T), np.asarray(w_ref),
+                               atol=1e-5)
+
+
 def test_point_manifold():
     rng = np.random.default_rng(4)
     p = jnp.asarray(rng.normal(size=(10, 4)), jnp.float32)
