@@ -95,6 +95,9 @@ class BundleAdjustConfig:
     lambda_down: float = 0.5
     min_lambda: float = 1e-12
     max_lambda: float = 1e8
+    # Use the fused Pallas normal-equation/point-update kernels on TPU
+    # backends (solvers/ba_pallas.py); pure-XLA path elsewhere.
+    use_pallas: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

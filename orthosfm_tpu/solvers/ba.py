@@ -409,13 +409,49 @@ class BAResult(NamedTuple):
     iterations: jnp.ndarray
 
 
+def _camera_tensors(cams: cam_mod.CameraSet):
+    """Flat camera tensors for the fused Pallas kernels: local→world R
+    (V, 3, 3), Euler rotation derivatives dSt (V, a, k, b) (zeros for quat),
+    and packed params [scale, w, h, offx, offy, 0, 0, 0] (V, 8)."""
+    R = cam_mod.rotation_l2w(cams)
+    n = len(cams)
+    if cams.kind == "euler":
+        dS = cam_mod.spherical_matrix_derivs(cams.rot[..., :3])  # (V, k, b, a)
+        dSt = jnp.transpose(dS, (0, 3, 1, 2))  # (V, a, k, b)
+    else:
+        dSt = jnp.zeros((n, 3, 3, 3), R.dtype)
+    camp = jnp.concatenate(
+        [cams.scale[:, None], cams.width[:, None], cams.height[:, None],
+         cams.offset, jnp.zeros((n, 3), R.dtype)], axis=-1)
+    return R, dSt, camp
+
+
+def _solve_camera_system(S_p, dU, rhs, free_c, lam):
+    """Dense solve of the damped/pinned/preconditioned reduced camera system.
+    S_p is U−WV̂⁻¹Wᵀ with U already on the block diagonal; dU its raw diag."""
+    dtype = S_p.dtype
+    n = S_p.shape[0]
+    S_f = S_p + jnp.diag(lam * jnp.maximum(dU, 1e-8))
+    fm = free_c.reshape(n).astype(dtype)
+    S_f = S_f * fm[:, None] * fm[None, :] + jnp.diag(1.0 - fm)
+    rhs_f = rhs * fm
+    d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diag(S_f)), 1e-12))
+    S_s = S_f / d[:, None] / d[None, :]
+    delta_c = (jnp.linalg.solve(S_s, rhs_f / d) / d).reshape(-1, 6)
+    return delta_c * free_c.astype(dtype)
+
+
 def _lm_loop(cams, pT, obsT, maskT, free_c, optimize_points, config,
-             reduce_fn=None, cost_reduce_fn=None):
+             reduce_fn=None, cost_reduce_fn=None, impl="xla"):
     """The shared LM while_loop over T-minor tensors. ``reduce_fn`` /
     ``cost_reduce_fn`` psum partial results under shard_map (identity when
-    single-device)."""
+    single-device). ``impl``: "xla" or "pallas" (fused TPU kernels)."""
     dtype = obsT.dtype
     cost_red = cost_reduce_fn or (lambda x: x)
+    if impl == "pallas":
+        from orthosfm_tpu.solvers import ba_pallas
+        maskF = maskT.astype(dtype)
+        freeF = free_c.astype(dtype)
 
     def cost_of(cams_, p_):
         r = _project_residuals_T(cams_, p_, obsT)
@@ -428,8 +464,7 @@ def _lm_loop(cams, pT, obsT, maskT, free_c, optimize_points, config,
         cams_, p_, lam, cost, it, done = state
         return (~done) & (it < config.max_iterations)
 
-    def body(state):
-        cams_, p_, lam, cost, it, done = state
+    def step_xla(cams_, p_, lam):
         blocks = _residuals_and_jacobians(cams_, p_, obsT, maskT, config.huber_delta)
         U, Wc, Vt, g_c, g_p = normal_equations(blocks, free_c)
         if reduce_fn is not None:
@@ -439,7 +474,28 @@ def _lm_loop(cams, pT, obsT, maskT, free_c, optimize_points, config,
                                        optimize_points, reduce_fn=reduce_fn)
         cams_new = cam_mod.retract(cams_, delta_c.astype(dtype))
         p_new = retract_point_T(p_, delta_p.astype(dtype)) if optimize_points else p_
-        new_cost = cost_of(cams_new, p_new)
+        return cams_new, p_new, cost_of(cams_new, p_new)
+
+    def step_pallas(cams_, p_, lam):
+        R, dSt, camp = _camera_tensors(cams_)
+        S_p, dU, rhs = ba_pallas.normal_eq_schur(
+            cams_.kind, p_, obsT, maskF, R, dSt, camp, freeF, lam,
+            config.huber_delta, optimize_points,
+            interpret=ba_pallas.INTERPRET)
+        delta_c = _solve_camera_system(S_p, dU, rhs, free_c, lam)
+        cams_new = cam_mod.retract(cams_, delta_c.astype(dtype))
+        R2, _, camp2 = _camera_tensors(cams_new)
+        p_new, new_cost = ba_pallas.point_update_cost(
+            cams_.kind, p_, obsT, maskF, R, dSt, camp, freeF, lam,
+            delta_c.astype(dtype), R2, camp2, config.huber_delta,
+            optimize_points, interpret=ba_pallas.INTERPRET)
+        return cams_new, p_new, new_cost
+
+    step = step_pallas if impl == "pallas" else step_xla
+
+    def body(state):
+        cams_, p_, lam, cost, it, done = state
+        cams_new, p_new, new_cost = step(cams_, p_, lam)
         accept = new_cost < cost
         cams_ = jax.tree.map(lambda a, b: jnp.where(accept, b, a), cams_, cams_new)
         p_ = jnp.where(accept, p_new, p_)
@@ -457,7 +513,6 @@ def _lm_loop(cams, pT, obsT, maskT, free_c, optimize_points, config,
     return cams_f, p_f, cost_f, init_cost, iters
 
 
-@functools.partial(jax.jit, static_argnames=("optimize_points", "config"))
 def run(cams: cam_mod.CameraSet, points4, obs, mask,
         optimize_points: bool = True,
         config: BundleAdjustConfig = BundleAdjustConfig()) -> BAResult:
@@ -469,10 +524,29 @@ def run(cams: cam_mod.CameraSet, points4, obs, mask,
       obs: (T, V, 2) pixel observations aligned to the camera order.
       mask: (T, V) which observations participate (obs_mask & alive & has_point).
 
+    On TPU backends the LM iteration runs through the fused Pallas kernels
+    (ba_pallas.py); elsewhere (CPU tests, virtual meshes) the pure-XLA path.
+
     Equivalent call in the reference: runBundleAdjustment(cameras, tracks,
     algorithm, optimizePoints, retriangulate) — retriangulation is done by the
     caller (pipeline) before invoking this, as bundle_adjustment.cpp:74-83 does.
     """
+    impl = "xla"
+    if config.use_pallas:
+        try:
+            platform = next(iter(obs.devices())).platform
+        except Exception:
+            platform = jax.default_backend()
+        if platform in ("tpu", "axon"):
+            impl = "pallas"
+    return _run_jit(cams, points4, obs, mask, optimize_points=optimize_points,
+                    config=config, impl=impl)
+
+
+@functools.partial(jax.jit, static_argnames=("optimize_points", "config", "impl"))
+def _run_jit(cams: cam_mod.CameraSet, points4, obs, mask,
+             optimize_points: bool, config: BundleAdjustConfig,
+             impl: str) -> BAResult:
     dtype = obs.dtype
     free_c = cam_mod.free_mask(cams)
     p_hat = points4 / jnp.maximum(jnp.linalg.norm(points4, axis=-1, keepdims=True), 1e-20)
@@ -488,10 +562,22 @@ def run(cams: cam_mod.CameraSet, points4, obs, mask,
     maskT = mask.T  # (V, T)
     pT = p_hat.T  # (4, T)
 
+    if impl == "pallas":
+        from orthosfm_tpu.solvers import ba_pallas
+
+        T = obs.shape[0]
+        T_pad = -(-T // ba_pallas.TILE) * ba_pallas.TILE
+        if T_pad != T:
+            pad = T_pad - T
+            obsT = jnp.pad(obsT, ((0, 0), (0, 0), (0, pad)))
+            maskT = jnp.pad(maskT, ((0, 0), (0, pad)))
+            pT = jnp.concatenate(
+                [pT, jnp.broadcast_to(safe[:, None], (4, pad))], axis=1)
+
     cams_f, p_f, cost_f, init_cost, iters = _lm_loop(
-        cams, pT, obsT, maskT, free_c, optimize_points, config)
-    return BAResult(cams=cams_f, points=p_f.T, cost=cost_f, initial_cost=init_cost,
-                    iterations=iters)
+        cams, pT, obsT, maskT, free_c, optimize_points, config, impl=impl)
+    return BAResult(cams=cams_f, points=p_f.T[:obs.shape[0]], cost=cost_f,
+                    initial_cost=init_cost, iterations=iters)
 
 
 def _project_residuals(cams: cam_mod.CameraSet, points4, obs):
