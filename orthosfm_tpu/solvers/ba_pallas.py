@@ -13,8 +13,6 @@ These two kernels fuse the whole per-observation pipeline in VMEM:
      One grid pass over track tiles. Residuals, Huber weights, analytic
      Jacobians, the 3×3 point-block inverses, and both Schur contractions
      happen per-tile in VMEM; only the 96×96 accumulators ever leave the chip.
-     The Schur cross term runs as 3 MXU matmuls (96, TILE)·(TILE, 96) per
-     tile; U as 2 more with a block-diagonal mask.
 
   point_update_cost: ... + δc and the retracted cameras
                     → updated homogeneous points (4, T) and the new robust cost
@@ -22,9 +20,26 @@ These two kernels fuse the whole per-observation pipeline in VMEM:
      back-substitutes δp = V̂⁻¹(g_p − Wᵀδc), retracts the points on the unit
      sphere, and folds the new-cost evaluation into the same pass.
 
+Mosaic layout rules this file obeys (learned the hard way — integer indexing
+on >2-D arrays lowers to `gather`, which Mosaic only supports on 2-D
+operands, and strided slices crash the compiler):
+  - every per-observation tensor inside the kernel is a 2-D (V, TILE) array;
+  - small structural axes (x/y residual component, the 6 camera tangent
+    params, the 3 point tangent params, the 4 homogeneous components) are
+    unrolled into Python lists of 2-D arrays;
+  - per-camera constants arrive as (V, k) lane tables sliced with
+    `t[:, j:j+1]` (contiguous lane slices only), per-point rows as (1, TILE)
+    sublane slices of (4, TILE);
+  - the Schur cross term Σ_q (W V̂⁻¹)_q W_qᵀ builds its (6V, TILE) operands by
+    sublane concatenation in PARAM-MAJOR row order (row = param·V + view) and
+    runs as 3 MXU matmuls; the host wrapper un-permutes the 96×96 result to
+    the block-major (view·6 + param) order the dense solve expects.
+
 The dense 96×96 camera solve, camera retraction and LM accept/reject stay in
 XLA (they are tiny). ba.py selects these kernels on TPU backends and falls
 back to the pure-XLA path elsewhere (CPU tests, virtual-device dry runs).
+Equivalence with the XLA path is cross-checked in tests/test_ba_pallas.py
+(interpret mode on CPU; compiled smoke test when a TPU is attached).
 
 Reference: this is the TPU replacement for Ceres' SPARSE_SCHUR inner loop
 (reference: src/bundle_adjustment/bundle_adjustment.cpp:126-145).
@@ -47,128 +62,153 @@ INTERPRET = False
 
 
 # ---------------------------------------------------------------------------
-# Shared per-tile math (traced inside both kernels)
+# Shared per-tile math (traced inside both kernels). All values are 2-D:
+# (V, TILE) per-observation arrays, (V, 1) camera columns, (1, TILE) point
+# rows. Structural axes are Python lists.
 
 
-def _eye(n, m, dtype):
-    """Identity-like (n, m) built from iota (array constants cannot be
-    captured inside Pallas kernels)."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
-    return (r == c).astype(dtype)
-
-
-def _inv3x3_T(M):
-    """Closed-form inverse of a (3, 3, TILE) stack (VPU only)."""
-    a, b, c = M[0, 0], M[0, 1], M[0, 2]
-    d, e, f = M[1, 0], M[1, 1], M[1, 2]
-    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+def _inv3x3_rows(M):
+    """Closed-form inverse of a 3×3 whose entries are (1, TILE) rows.
+    M is a 3×3 nested list; returns the same structure."""
+    a, b, c = M[0][0], M[0][1], M[0][2]
+    d, e, f = M[1][0], M[1][1], M[1][2]
+    g, h, i = M[2][0], M[2][1], M[2][2]
     A = e * i - f * h
     B = -(d * i - f * g)
     C = d * h - e * g
     det = a * A + b * B + c * C
     inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-    row0 = jnp.stack([A, -(b * i - c * h), b * f - c * e], 0)
-    row1 = jnp.stack([B, a * i - c * g, -(a * f - c * d)], 0)
-    row2 = jnp.stack([C, -(a * h - b * g), a * e - b * d], 0)
-    return jnp.stack([row0, row1, row2], 0) * inv_det[None, None, :]
+    return [
+        [A * inv_det, -(b * i - c * h) * inv_det, (b * f - c * e) * inv_det],
+        [B * inv_det, (a * i - c * g) * inv_det, -(a * f - c * d) * inv_det],
+        [C * inv_det, -(a * h - b * g) * inv_det, (a * e - b * d) * inv_det],
+    ]
 
 
-def _project(R, camp, p3):
-    """pix (V, 2, TILE) and local (V, 3, TILE) for local→world rotations R
-    (V, 3, 3) and camera params camp = [scale, w, h, offx, offy, ...] (V, 8)."""
-    local = (R[:, 0, :, None] * p3[0] + R[:, 1, :, None] * p3[1] +
-             R[:, 2, :, None] * p3[2])  # (V, 3, TILE) = Rᵀ p3
-    s = camp[:, 0][:, None, None]
-    wh = camp[:, 1:3][:, :, None]
-    off = camp[:, 3:5][:, :, None]
-    pix = wh * (-(local[:, :2] / s - off) * 0.5 + 0.5)
+def _project_rows(R9, camp, p3):
+    """Projection in row form. R9 (V, 9) flattened local→world rotations
+    (R9[:, b*3+a] = R[v, b, a]), camp (V, 8) = [scale, w, h, offx, offy, ...],
+    p3 = [px, py, pz] list of (1, TILE).
+
+    Returns (pix = [pix_x, pix_y] (V, TILE), local = [l0, l1, l2] (V, TILE))."""
+    local = [
+        R9[:, 0 + a:1 + a] * p3[0] + R9[:, 3 + a:4 + a] * p3[1] +
+        R9[:, 6 + a:7 + a] * p3[2]  # (V, 1)·(1, T) → (V, T); localₐ = (Rᵀp)ₐ
+        for a in range(3)
+    ]
+    s = camp[:, 0:1]
+    wh = [camp[:, 1:2], camp[:, 2:3]]
+    off = [camp[:, 3:4], camp[:, 4:5]]
+    pix = [wh[k] * (-(local[k] / s - off[k]) * 0.5 + 0.5) for k in range(2)]
     return pix, local
 
 
-def _tile_blocks(kind, p4, obs, m, R, dSt, camp, free, huber_delta):
+def _split_p4(p4):
+    """Rows of the (4, TILE) homogeneous point block + safe-w dehomogenized
+    coordinates: returns (p4rows, sw, p3rows)."""
+    p4r = [p4[i:i + 1] for i in range(4)]
+    w = p4r[3]
+    sw = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
+    p3 = [p4r[i] / sw for i in range(3)]
+    return p4r, sw, p3
+
+
+def _tile_blocks(kind, p4, obs, m, R9, dS, camp, free, huber_delta):
     """Residuals + Huber weights + analytic Jacobians for one track tile.
 
-    Returns (r (V,2,TILE) masked, wgt (V,TILE), Jc (V,2,6,TILE) free-masked,
-    Jp (V,2,3,TILE), B (4,3,TILE) point tangent basis). Mirrors
-    ba._residuals_and_jacobians — the two implementations are cross-checked in
+    p4 (4, TILE); obs (2V, TILE) with x components in rows [0, V) and y in
+    [V, 2V); m (V, TILE); R9 (V, 9); dS (V, 27) Euler rotation derivatives
+    flattened as [a*9 + k*3 + b] (zeros for quat); camp (V, 8); free (V, 6).
+
+    Returns (r = [rx, ry] masked, wgt (V, TILE), Jc = [comp][param] (V, TILE)
+    free- and mask-zeroed, Jp = [comp][q], B = [i][q] (1, TILE) point tangent
+    basis). Mirrors ba._residuals_and_jacobians — cross-checked in
     tests/test_ba_pallas.py."""
-    V = obs.shape[0]
-    w_raw = p4[3]
-    sw = jnp.where(jnp.abs(w_raw) < 1e-12, jnp.where(w_raw < 0, -1e-12, 1e-12), w_raw)
-    p3 = p4[:3] / sw[None, :]  # (3, TILE)
+    V = m.shape[0]
+    p4r, sw, p3 = _split_p4(p4)
+    px, py, pz = p3
 
-    pix, local = _project(R, camp, p3)
-    r = (pix - obs) * m[:, None, :]  # (V, 2, TILE)
-    s = camp[:, 0]
-    wh = camp[:, 1:3]
-    a_sc = -wh / (2.0 * s[:, None])  # (V, 2)
+    pix, local = _project_rows(R9, camp, p3)
+    r = [(pix[k] - obs[k * V:(k + 1) * V]) * m for k in range(2)]
+    s = camp[:, 0:1]
+    wh = [camp[:, 1:2], camp[:, 2:3]]
+    a_sc = [-wh[k] / (2.0 * s) for k in range(2)]  # ∂pix/∂local_xy scale
 
-    rnorm = jnp.sqrt(jnp.maximum(r[:, 0] ** 2 + r[:, 1] ** 2, 1e-30))  # (V, TILE)
+    rnorm = jnp.sqrt(jnp.maximum(r[0] * r[0] + r[1] * r[1], 1e-30))
     wgt = m * jnp.minimum(1.0, huber_delta / rnorm)
 
     if kind == "quat":
-        x, y, z = p3[0], p3[1], p3[2]
-        # (Rᵀ[p]ₓ) columns, unrolled from the skew structure
-        k0 = R[:, 1, :, None] * z - R[:, 2, :, None] * y  # (V, 3, TILE)
-        k1 = -R[:, 0, :, None] * z + R[:, 2, :, None] * x
-        k2 = R[:, 0, :, None] * y - R[:, 1, :, None] * x
-        dl_rot = jnp.stack([k0, k1, k2], 2)  # (V, a=3, k=3, TILE)
+        # ∂local/∂δₖ = (Rᵀ[p]ₓ)[:, k]: dl_rot[a][k], [p]ₓ columns unrolled
+        dl_rot = [
+            [
+                R9[:, 3 + a:4 + a] * pz - R9[:, 6 + a:7 + a] * py,
+                -R9[:, 0 + a:1 + a] * pz + R9[:, 6 + a:7 + a] * px,
+                R9[:, 0 + a:1 + a] * py - R9[:, 3 + a:4 + a] * px,
+            ]
+            for a in range(2)
+        ]
     else:
         # C = [[1,0,0],[0,0,-1],[0,1,0]] → C·p3 = (x, −z, y)
-        Cp = jnp.stack([p3[0], -p3[2], p3[1]], 0)  # (3, TILE)
-        # dSt is (V, a, k, b) pre-transposed in XLA
-        dl_rot = (dSt[:, :, :, 0, None] * Cp[0] + dSt[:, :, :, 1, None] * Cp[1] +
-                  dSt[:, :, :, 2, None] * Cp[2])  # (V, 3, 3, TILE)
+        Cp = [px, -pz, py]
+        dl_rot = [
+            [
+                sum(dS[:, a * 9 + k * 3 + b:a * 9 + k * 3 + b + 1] * Cp[b]
+                    for b in range(3))
+                for k in range(3)
+            ]
+            for a in range(2)
+        ]
 
-    Jc_rot = a_sc[:, :, None, None] * dl_rot[:, :2]  # (V, 2, 3, TILE)
-    TILE_ = obs.shape[2]
-    eye2 = _eye(2, 2, obs.dtype)
-    Jc_off = jnp.broadcast_to((wh[:, :, None] * 0.5 * eye2[None])[:, :, :, None],
-                              (V, 2, 2, TILE_))
-    Jc_s = (-a_sc[:, :, None] * local[:, :2] / s[:, None, None])[:, :, None, :]
-    Jc = jnp.concatenate([Jc_rot, Jc_off, Jc_s], axis=2)  # (V, 2, 6, TILE)
-    Jc = Jc * free[:, None, :, None] * m[:, None, None, :]
+    # Jc columns: [rotation (3) | offset (2) | scale (1)], free/mask-zeroed
+    zero = jnp.zeros_like(m)
+    Jc = [[None] * 6 for _ in range(2)]
+    for k in range(2):
+        for j in range(3):
+            Jc[k][j] = a_sc[k] * dl_rot[k][j]
+        Jc[k][3 + k] = jnp.broadcast_to(wh[k] * 0.5, m.shape)
+        Jc[k][4 - k] = zero
+        Jc[k][5] = -a_sc[k] * local[k] / s
+    for k in range(2):
+        for j in range(6):
+            Jc[k][j] = Jc[k][j] * free[:, j:j + 1] * m
 
-    # Point tangent basis on S³ (Householder, e₃ → ∓p̂)
-    sign = jnp.where(p4[3] >= 0, 1.0, -1.0)
-    e3col = (jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0) == 3).astype(p4.dtype)
-    v4 = p4 + sign[None, :] * e3col
-    vn2 = jnp.maximum(v4[0] ** 2 + v4[1] ** 2 + v4[2] ** 2 + v4[3] ** 2, 1e-20)
-    eye43 = _eye(4, 3, p4.dtype)
-    B = eye43[:, :, None] - 2.0 * v4[:, None, :] * v4[None, :3, :] / vn2[None, None, :]
+    # Point tangent basis on S³ (Householder, e₃ → ∓p̂): B[i][q] (1, TILE)
+    sign = jnp.where(p4r[3] >= 0, 1.0, -1.0)
+    v4 = [p4r[0], p4r[1], p4r[2], p4r[3] + sign]
+    vn2 = jnp.maximum(sum(v * v for v in v4), 1e-20)
+    B = [[(1.0 if i == q else 0.0) - 2.0 * v4[i] * v4[q] / vn2
+          for q in range(3)] for i in range(4)]
 
-    # J₃·B = (B[:3] − p3·B[3]) / w
-    J3B = (B[:3] - p3[:, None, :] * B[3][None]) / sw[None, None, :]  # (3, 3, TILE)
-    dl_pt = (R[:, 0, :, None, None] * J3B[0][None] +
-             R[:, 1, :, None, None] * J3B[1][None] +
-             R[:, 2, :, None, None] * J3B[2][None])  # (V, 3, 3, TILE)
-    Jp = a_sc[:, :, None, None] * dl_pt[:, :2] * m[:, None, None, :]  # (V, 2, 3, TILE)
+    # J₃·B = (B[:3] − p3·B[3]) / w, then rotate into camera frame
+    J3B = [[(B[j][q] - p3[j] * B[3][q]) / sw for q in range(3)]
+           for j in range(3)]
+    Jp = [[a_sc[k] * sum(R9[:, j * 3 + k:j * 3 + k + 1] * J3B[j][q]
+                         for j in range(3)) * m
+           for q in range(3)] for k in range(2)]
     return r, wgt, Jc, Jp, B
 
 
-def _point_blocks(Jp, wgt, lam, optimize_points):
-    """Damped point blocks and their inverses: V̂ = Σ w JpᵀJp + λ·diag, (3,3,T)."""
-    Jpw = Jp * wgt[:, None, None, :]
-    Vt = sum(
-        jnp.sum(Jpw[:, k, :, None, :] * Jp[:, k, None, :, :], axis=0)
-        for k in range(2)
-    )  # (3, 3, TILE)
-    dV = jnp.maximum(jnp.stack([Vt[0, 0], Vt[1, 1], Vt[2, 2]], 0), 1e-8)
-    eye3 = _eye(3, 3, Jp.dtype)
-    V_d = Vt + eye3[:, :, None] * (lam * dV + 1e-10)[:, None, :]
-    if optimize_points:
-        V_inv = _inv3x3_T(V_d)
-    else:
-        V_inv = jnp.zeros_like(V_d)
-    return Jpw, V_inv
+def _point_block_inv(Jp, wgt, lam, optimize_points):
+    """Damped point blocks and their inverses. Jp[comp][q] (V, TILE) →
+    (Jpw weighted Jacobians, V̂⁻¹ as a 3×3 list of (1, TILE) rows)."""
+    Jpw = [[Jp[k][q] * wgt for q in range(3)] for k in range(2)]
+    Vt = [[sum(jnp.sum(Jpw[k][p] * Jp[k][q], axis=0, keepdims=True)
+               for k in range(2)) for q in range(3)] for p in range(3)]
+    if not optimize_points:
+        z = jnp.zeros_like(Vt[0][0])
+        return Jpw, [[z, z, z] for _ in range(3)]
+    V_d = [[Vt[p][q] +
+            ((lam * jnp.maximum(Vt[p][p], 1e-8) + 1e-10) if p == q else 0.0)
+            for q in range(3)] for p in range(3)]
+    return Jpw, _inv3x3_rows(V_d)
 
 
 def _couplings(Jc, Jp, wgt):
-    """Wc[v,a,p,t] = Σ_k w·Jc[v,k,a,t]·Jp[v,k,p,t]  (V, 6, 3, TILE)."""
-    Jcw = Jc * wgt[:, None, None, :]
-    return Jcw, (Jcw[:, 0, :, None, :] * Jp[:, 0, None, :, :] +
-                 Jcw[:, 1, :, None, :] * Jp[:, 1, None, :, :])
+    """Jcw and Wc[a][q] = Σ_k w·Jc[k][a]·Jp[k][q], each (V, TILE)."""
+    Jcw = [[Jc[k][a] * wgt for a in range(6)] for k in range(2)]
+    Wc = [[Jcw[0][a] * Jp[0][q] + Jcw[1][a] * Jp[1][q] for q in range(3)]
+          for a in range(6)]
+    return Jcw, Wc
 
 
 # ---------------------------------------------------------------------------
@@ -176,62 +216,70 @@ def _couplings(Jc, Jp, wgt):
 
 
 def _make_ne_kernel(kind, V, huber_delta, optimize_points):
-    n = V * 6
-
-    def kernel(lam_ref, p4_ref, obs_ref, m_ref, R_ref, dSt_ref, camp_ref,
-               free_ref, S_ref, vec_ref):
+    def kernel(lam_ref, p4_ref, obs_ref, m_ref, R9_ref, dS_ref, camp_ref,
+               free_ref, S_ref, U_ref, g_ref):
         i = pl.program_id(0)
         lam = lam_ref[0, 0]
         p4 = p4_ref[:]
-        obs = obs_ref[:].reshape(V, 2, TILE)
+        obs = obs_ref[:]
         m = m_ref[:]
-        R = R_ref[:].reshape(V, 3, 3)
-        dSt = dSt_ref[:].reshape(V, 3, 3, 3)
+        R9 = R9_ref[:]
+        dS = dS_ref[:]
         camp = camp_ref[:]
         free = free_ref[:]
 
-        r, wgt, Jc, Jp, _ = _tile_blocks(kind, p4, obs, m, R, dSt, camp, free,
-                                         huber_delta)
-        Jpw, V_inv = _point_blocks(Jp, wgt, lam, optimize_points)
+        r, wgt, Jc, Jp, _ = _tile_blocks(kind, p4, obs, m, R9, dS, camp,
+                                         free, huber_delta)
+        Jpw, V_inv = _point_block_inv(Jp, wgt, lam, optimize_points)
         Jcw, Wc = _couplings(Jc, Jp, wgt)
+        WVi = [[sum(Wc[a][p] * V_inv[p][q] for p in range(3))
+                for q in range(3)] for a in range(6)]
 
-        # U (block-diagonal part of JᵀJ): 2 flat MXU matmuls + mask
+        # U (camera block diagonals): 21 lane reductions + symmetry → (V, 36)
+        Uent = {}
+        for a in range(6):
+            for b in range(a, 6):
+                Uent[(a, b)] = jnp.sum(Jcw[0][a] * Jc[0][b] +
+                                       Jcw[1][a] * Jc[1][b],
+                                       axis=1, keepdims=True)  # (V, 1)
+        U_tile = jnp.concatenate(
+            [Uent[(a, b)] if a <= b else Uent[(b, a)]
+             for a in range(6) for b in range(6)], axis=1)  # (V, 36)
+
+        # Schur cross term Σ_q (W V̂⁻¹)_q W_qᵀ: 3 MXU matmuls in PARAM-MAJOR
+        # row order (row = a·V + v); the host un-permutes to block-major.
         dot_t = functools.partial(
             jax.lax.dot_general, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        U_full = (dot_t(Jcw[:, 0].reshape(n, TILE), Jc[:, 0].reshape(n, TILE)) +
-                  dot_t(Jcw[:, 1].reshape(n, TILE), Jc[:, 1].reshape(n, TILE)))
-        dU = jnp.sum(Jcw * Jc, axis=(1, 3)).reshape(1, n)  # diag(U)
-
-        # Schur cross term: Σ_q (W V̂⁻¹)_q · W_qᵀ, 3 MXU matmuls
-        WVi = (Wc[:, :, 0, None, :] * V_inv[None, None, 0] +
-               Wc[:, :, 1, None, :] * V_inv[None, None, 1] +
-               Wc[:, :, 2, None, :] * V_inv[None, None, 2])
-        S_red = sum(
-            dot_t(WVi[:, :, q, :].reshape(n, TILE), Wc[:, :, q, :].reshape(n, TILE))
+        S_tile = sum(
+            dot_t(jnp.concatenate([WVi[a][q] for a in range(6)], axis=0),
+                  jnp.concatenate([Wc[a][q] for a in range(6)], axis=0))
             for q in range(3)
-        )
+        )  # (6V, 6V)
 
-        g_c = -jnp.sum(Jcw * r[:, :, None, :], axis=(1, 3))  # (V, 6)
-        g_p = -jnp.sum(Jpw * r[:, :, None, :], axis=(0, 1))  # (3, TILE)
-        rhs2 = jnp.sum(WVi * g_p[None, None, :, :], axis=(2, 3))  # (V, 6)
-        rhs = (g_c - rhs2).reshape(1, n)
-
-        rblk = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // 6
-        cblk = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // 6
-        blkmask = (rblk == cblk).astype(U_full.dtype)
-        S_tile = U_full * blkmask - S_red
-        vec_tile = jnp.concatenate([dU, rhs], axis=0)  # (2, n)
+        # Gradients: g_c (V, 6) lane-reduced; g_p (3 rows of (1, TILE));
+        # rhs2 = Σ_q WVi_q · g_p_q lane-reduced → (V, 6)
+        g_c = jnp.concatenate(
+            [-jnp.sum(Jcw[0][a] * r[0] + Jcw[1][a] * r[1],
+                      axis=1, keepdims=True) for a in range(6)], axis=1)
+        g_p = [-jnp.sum(Jpw[0][q] * r[0] + Jpw[1][q] * r[1],
+                        axis=0, keepdims=True) for q in range(3)]  # (1, T)
+        rhs2 = jnp.concatenate(
+            [jnp.sum(sum(WVi[a][q] * g_p[q] for q in range(3)),
+                     axis=1, keepdims=True) for a in range(6)], axis=1)
+        g_tile = jnp.concatenate([g_c, rhs2], axis=1)  # (V, 12)
 
         @pl.when(i == 0)
         def _():
             S_ref[:] = S_tile
-            vec_ref[:] = vec_tile
+            U_ref[:] = U_tile
+            g_ref[:] = g_tile
 
         @pl.when(i > 0)
         def _():
             S_ref[:] = S_ref[:] + S_tile
-            vec_ref[:] = vec_ref[:] + vec_tile
+            U_ref[:] = U_ref[:] + U_tile
+            g_ref[:] = g_ref[:] + g_tile
 
     return kernel
 
@@ -241,46 +289,47 @@ def _make_ne_kernel(kind, V, huber_delta, optimize_points):
 
 
 def _make_update_kernel(kind, V, huber_delta, optimize_points):
-    def kernel(lam_ref, p4_ref, obs_ref, m_ref, R_ref, dSt_ref, camp_ref,
-               free_ref, dc_ref, Rn_ref, campn_ref, pnew_ref, cost_ref):
+    def kernel(lam_ref, p4_ref, obs_ref, m_ref, R9_ref, dS_ref, camp_ref,
+               free_ref, dc_ref, R9n_ref, campn_ref, pnew_ref, cost_ref):
         i = pl.program_id(0)
         lam = lam_ref[0, 0]
         p4 = p4_ref[:]
-        obs = obs_ref[:].reshape(V, 2, TILE)
+        obs = obs_ref[:]
         m = m_ref[:]
-        R = R_ref[:].reshape(V, 3, 3)
-        dSt = dSt_ref[:].reshape(V, 3, 3, 3)
+        R9 = R9_ref[:]
+        dS = dS_ref[:]
         camp = camp_ref[:]
         free = free_ref[:]
         dc = dc_ref[:]  # (V, 6)
 
         if optimize_points:
-            r, wgt, Jc, Jp, B = _tile_blocks(kind, p4, obs, m, R, dSt, camp,
+            r, wgt, Jc, Jp, B = _tile_blocks(kind, p4, obs, m, R9, dS, camp,
                                              free, huber_delta)
-            Jpw, V_inv = _point_blocks(Jp, wgt, lam, optimize_points)
+            Jpw, V_inv = _point_block_inv(Jp, wgt, lam, optimize_points)
             _, Wc = _couplings(Jc, Jp, wgt)
-            g_p = -jnp.sum(Jpw * r[:, :, None, :], axis=(0, 1))  # (3, TILE)
+            g_p = [-jnp.sum(Jpw[0][q] * r[0] + Jpw[1][q] * r[1],
+                            axis=0, keepdims=True) for q in range(3)]
             # δp = V̂⁻¹ (g_p − Wᵀ δc)
-            tmp = g_p - jnp.sum(Wc * dc[:, :, None, None], axis=(0, 1))
-            dp = (V_inv[:, 0] * tmp[None, 0] + V_inv[:, 1] * tmp[None, 1] +
-                  V_inv[:, 2] * tmp[None, 2])  # (3, TILE)
-            p_new = p4 + (B[:, 0] * dp[0] + B[:, 1] * dp[1] + B[:, 2] * dp[2])
-            nrm = jnp.sqrt(jnp.maximum(
-                p_new[0] ** 2 + p_new[1] ** 2 + p_new[2] ** 2 + p_new[3] ** 2,
-                1e-40))
-            p_new = p_new / nrm[None, :]
+            tmp = [g_p[q] - jnp.sum(sum(Wc[a][q] * dc[:, a:a + 1]
+                                        for a in range(6)),
+                                    axis=0, keepdims=True)
+                   for q in range(3)]
+            dp = [sum(V_inv[q][p] * tmp[p] for p in range(3))
+                  for q in range(3)]  # (1, TILE) each
+            p4r = [p4[j:j + 1] for j in range(4)]
+            pn = [p4r[j] + sum(B[j][q] * dp[q] for q in range(3))
+                  for j in range(4)]
+            nrm = jnp.sqrt(jnp.maximum(sum(v * v for v in pn), 1e-40))
+            pn = [v / nrm for v in pn]
+            p_new = jnp.concatenate(pn, axis=0)  # (4, TILE)
         else:
             p_new = p4
 
         # New robust cost at (retracted cameras, updated points)
-        Rn = Rn_ref[:].reshape(V, 3, 3)
-        campn = campn_ref[:]
-        w_raw = p_new[3]
-        sw = jnp.where(jnp.abs(w_raw) < 1e-12,
-                       jnp.where(w_raw < 0, -1e-12, 1e-12), w_raw)
-        pix, _ = _project(Rn, campn, p_new[:3] / sw[None, :])
-        rn = (pix - obs) * m[:, None, :]
-        s2 = rn[:, 0] ** 2 + rn[:, 1] ** 2
+        _, sw, p3n = _split_p4(p_new)
+        pixn, _ = _project_rows(R9n_ref[:], campn_ref[:], p3n)
+        rn = [(pixn[k] - obs[k * V:(k + 1) * V]) * m for k in range(2)]
+        s2 = rn[0] * rn[0] + rn[1] * rn[1]
         d2 = huber_delta * huber_delta
         rho = jnp.where(s2 <= d2, s2,
                         2.0 * huber_delta * jnp.sqrt(jnp.maximum(s2, 1e-20)) - d2)
@@ -310,11 +359,20 @@ def _common_specs(V):
         pl.BlockSpec((4, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),      # p4
         pl.BlockSpec((V * 2, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),  # obs
         pl.BlockSpec((V, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),      # mask
-        pl.BlockSpec((V * 3, 3), rep, memory_space=pltpu.VMEM),                  # R
-        pl.BlockSpec((V * 9, 3), rep, memory_space=pltpu.VMEM),                  # dSt
+        pl.BlockSpec((V, 9), rep, memory_space=pltpu.VMEM),                      # R9
+        pl.BlockSpec((V, 27), rep, memory_space=pltpu.VMEM),                     # dS
         pl.BlockSpec((V, 8), rep, memory_space=pltpu.VMEM),                      # camp
         pl.BlockSpec((V, 6), rep, memory_space=pltpu.VMEM),                      # free
     ]
+
+
+def _kernel_operands(pT, obsT, maskT, R, dSt, camp, free, lam):
+    """Reshape the ba.py-facing tensors into the kernels' 2-D forms."""
+    V = obsT.shape[0]
+    T = obsT.shape[2]
+    obs2 = jnp.transpose(obsT, (1, 0, 2)).reshape(2 * V, T)  # x rows then y
+    return (jnp.full((1, 1), lam, jnp.float32), pT, obs2, maskT,
+            R.reshape(V, 9), dSt.reshape(V, 27), camp, free)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "huber_delta",
@@ -324,27 +382,41 @@ def normal_eq_schur(kind, pT, obsT, maskT, R, dSt, camp, free, lam,
     """Fused normal equations + Schur reduction over all track tiles.
 
     pT (4, T), obsT (V, 2, T), maskT (V, T) float; T % TILE == 0.
-    Returns (S' (6V, 6V), dU (6V,), rhs (6V,))."""
+    Returns (S' (6V, 6V) = blkdiag(U) − WV̂⁻¹Wᵀ in block-major (v·6+a) order,
+    dU (6V,) raw U diagonal, rhs (6V,) = g_c − WV̂⁻¹g_p)."""
     V = obsT.shape[0]
     T = obsT.shape[2]
     n = V * 6
     grid = (T // TILE,)
-    S, vec = pl.pallas_call(
+    S_pm, U_flat, g = pl.pallas_call(
         _make_ne_kernel(kind, V, float(huber_delta), bool(optimize_points)),
         grid=grid,
         in_specs=_common_specs(V),
         out_specs=[
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, 36), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, n), jnp.float32),
-            jax.ShapeDtypeStruct((2, n), jnp.float32),
+            jax.ShapeDtypeStruct((V, 36), jnp.float32),
+            jax.ShapeDtypeStruct((V, 12), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.full((1, 1), lam, jnp.float32), pT, obsT.reshape(V * 2, T), maskT,
-      R.reshape(V * 3, 3), dSt.reshape(V * 9, 3), camp, free)
-    return S, vec[0], vec[1]
+    )(*_kernel_operands(pT, obsT, maskT, R, dSt, camp, free, lam))
+
+    # Un-permute the Schur cross term from param-major (a·V+v) to block-major
+    # (v·6+a) and put U on the block diagonal — tiny 96×96 XLA work.
+    idx = jnp.arange(n)
+    pm_of_bm = (idx % 6) * V + idx // 6
+    S_red = S_pm[pm_of_bm][:, pm_of_bm]
+    U = U_flat.reshape(V, 6, 6)
+    ar = jnp.arange(V)
+    S = jnp.zeros((V, 6, V, 6), S_red.dtype).at[ar, :, ar, :].set(U)
+    S = S.reshape(n, n) - S_red
+    dU = jnp.einsum("vaa->va", U).reshape(n)
+    rhs = (g[:, :6] - g[:, 6:]).reshape(n)
+    return S, dU, rhs
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "huber_delta",
@@ -360,7 +432,7 @@ def point_update_cost(kind, pT, obsT, maskT, R, dSt, camp, free, lam,
     grid = (T // TILE,)
     in_specs = _common_specs(V) + [
         pl.BlockSpec((V, 6), lambda i: (0, 0), memory_space=pltpu.VMEM),   # dc
-        pl.BlockSpec((V * 3, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),  # R_new
+        pl.BlockSpec((V, 9), lambda i: (0, 0), memory_space=pltpu.VMEM),   # R9_new
         pl.BlockSpec((V, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),   # camp_new
     ]
     p_new, cost = pl.pallas_call(
@@ -376,7 +448,6 @@ def point_update_cost(kind, pT, obsT, maskT, R, dSt, camp, free, lam,
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.full((1, 1), lam, jnp.float32), pT, obsT.reshape(V * 2, T), maskT,
-      R.reshape(V * 3, 3), dSt.reshape(V * 9, 3), camp, free,
-      delta_c, R_new.reshape(V * 3, 3), camp_new)
+    )(*_kernel_operands(pT, obsT, maskT, R, dSt, camp, free, lam),
+      delta_c, R_new.reshape(V, 9), camp_new)
     return p_new, cost[0, 0]

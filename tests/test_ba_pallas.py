@@ -1,0 +1,205 @@
+"""Pallas BA kernel coverage: interpret-mode equivalence against the XLA
+path (runs everywhere, incl. the CPU CI mesh) plus compiled on-device smoke
+tests that run whenever a real TPU is attached.
+
+These exist so a Mosaic-lowering regression in solvers/ba_pallas.py can never
+ship silently again: the interpret tests pin the math, the TPU tests pin the
+lowering. Reference solve being replaced: Ceres SPARSE_SCHUR
+(src/bundle_adjustment/bundle_adjustment.cpp:126-145)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orthosfm_tpu.config import BundleAdjustConfig
+from orthosfm_tpu.core import cameras as cam_mod
+from orthosfm_tpu.core import quaternions as quat
+from orthosfm_tpu.data import synthetic
+from orthosfm_tpu.ops import triangulate
+from orthosfm_tpu.solvers import ba, ba_pallas
+
+
+def _problem(kind, num_views=8, n_points=1024, seed=0):
+    ds = synthetic.generate_dataset(synthetic.sphere_cloud(n_points),
+                                    num_views=num_views, seed=seed,
+                                    width=2048, height=2048)
+    rng = np.random.default_rng(seed)
+    pert = np.asarray(ds.gt_cameras.rot[:, :3]) + np.deg2rad(
+        rng.uniform(-1.0, 1.0, (num_views, 3))).astype(np.float32)
+    e = cam_mod.make_euler(np.arange(num_views), 2048.0, 2048.0, angles=pert)
+    if kind == "quat":
+        cams = cam_mod.make_quaternion(np.arange(num_views), 2048.0, 2048.0,
+                                       q=quat.from_matrix(cam_mod.basis(e)))
+    else:
+        cams = e
+    cams = cams.replace(fixed=jnp.zeros(num_views, bool).at[0].set(True))
+    ts = triangulate.triangulate_tracks(cams, ds.tracks, np.arange(num_views))
+    mask = ts.obs_mask & ts.alive[:, None] & ts.has_point[:, None]
+    return cams, ts.points, ts.obs, mask
+
+
+def _kernel_inputs(cams, points4, obs, mask):
+    """T-minor padded tensors in the form ba._lm_loop feeds the kernels."""
+    T = obs.shape[0]
+    T_pad = -(-T // ba_pallas.TILE) * ba_pallas.TILE
+    p_hat = points4 / jnp.maximum(
+        jnp.linalg.norm(points4, axis=-1, keepdims=True), 1e-20)
+    track_valid = jnp.any(mask, axis=1)
+    mask = mask & track_valid[:, None]
+    safe = jnp.array([0.0, 0.0, 0.0, 1.0], obs.dtype)
+    p_hat = jnp.where(track_valid[:, None], p_hat, safe)
+    obsT = jnp.pad(jnp.transpose(obs, (1, 2, 0)),
+                   ((0, 0), (0, 0), (0, T_pad - T)))
+    maskT = jnp.pad(mask.T, ((0, 0), (0, T_pad - T)))
+    pT = jnp.concatenate(
+        [p_hat.T, jnp.broadcast_to(safe[:, None], (4, T_pad - T))], axis=1)
+    return pT, obsT, maskT
+
+
+def _xla_reference(cams, pT, obsT, maskT, lam, huber_delta, optimize_points):
+    """S', dU, rhs assembled from the XLA building blocks, matching the
+    contract of ba_pallas.normal_eq_schur."""
+    free_c = cam_mod.free_mask(cams)
+    blocks = ba._residuals_and_jacobians(cams, pT, obsT, maskT, huber_delta)
+    U, Wc, Vt, g_c, g_p = ba.normal_equations(blocks, free_c)
+    V, T = Wc.shape[0], Wc.shape[3]
+    eye3 = jnp.eye(3, dtype=U.dtype)
+    dV = jnp.maximum(jnp.stack([Vt[0, 0], Vt[1, 1], Vt[2, 2]], 0), 1e-8)
+    V_d = Vt + eye3[:, :, None] * (lam * dV + 1e-10)[:, None, :]
+    V_inv = ba.inv3x3_T(V_d) if optimize_points else jnp.zeros_like(V_d)
+    WVi = (Wc[:, :, 0, None, :] * V_inv[None, None, 0] +
+           Wc[:, :, 1, None, :] * V_inv[None, None, 1] +
+           Wc[:, :, 2, None, :] * V_inv[None, None, 2])
+    X = WVi.reshape(V * 6, 3 * T)
+    Y = Wc.reshape(V * 6, 3 * T)
+    S_red = jnp.dot(X, Y.T, preferred_element_type=jnp.float32)
+    ar = jnp.arange(V)
+    S = jnp.zeros((V, 6, V, 6), U.dtype).at[ar, :, ar, :].set(U)
+    S = S.reshape(V * 6, V * 6) - S_red
+    dU = jnp.einsum("vaa->va", U).reshape(V * 6)
+    rhs = g_c.reshape(V * 6) - X @ g_p.reshape(3 * T)
+    return S, dU, rhs
+
+
+@pytest.mark.parametrize("kind", ["quat", "euler"])
+@pytest.mark.parametrize("optimize_points", [True, False])
+def test_normal_eq_schur_matches_xla_interpret(kind, optimize_points):
+    cams, points, obs, mask = _problem(kind)
+    pT, obsT, maskT = _kernel_inputs(cams, points, obs, mask)
+    lam, delta = 1e-3, 1.0
+    R, dSt, camp = ba._camera_tensors(cams)
+    free = cam_mod.free_mask(cams).astype(obsT.dtype)
+    S_k, dU_k, rhs_k = ba_pallas.normal_eq_schur(
+        cams.kind, pT, obsT, maskT.astype(obsT.dtype), R, dSt, camp, free,
+        lam, delta, optimize_points, interpret=True)
+    S_x, dU_x, rhs_x = _xla_reference(cams, pT, obsT, maskT, lam, delta,
+                                      optimize_points)
+    scale = float(jnp.max(jnp.abs(S_x))) + 1e-30
+    assert float(jnp.max(jnp.abs(S_k - S_x))) / scale < 2e-5
+    np.testing.assert_allclose(np.asarray(dU_k), np.asarray(dU_x),
+                               rtol=2e-5, atol=1e-4)
+    rscale = float(jnp.max(jnp.abs(rhs_x))) + 1e-30
+    assert float(jnp.max(jnp.abs(rhs_k - rhs_x))) / rscale < 2e-5
+
+
+@pytest.mark.parametrize("kind", ["quat", "euler"])
+def test_point_update_cost_matches_xla_interpret(kind):
+    cams, points, obs, mask = _problem(kind)
+    pT, obsT, maskT = _kernel_inputs(cams, points, obs, mask)
+    lam, delta = 1e-3, 1.0
+    free_c = cam_mod.free_mask(cams)
+    R, dSt, camp = ba._camera_tensors(cams)
+    free = free_c.astype(obsT.dtype)
+
+    # One full XLA LM step to produce the camera update the kernel consumes
+    blocks = ba._residuals_and_jacobians(cams, pT, obsT, maskT, delta)
+    U, Wc, Vt, g_c, g_p = ba.normal_equations(blocks, free_c)
+    delta_c, delta_p = ba.schur_solve(U, Wc, Vt, g_c, g_p, free_c, lam, True)
+    cams_new = cam_mod.retract(cams, delta_c.astype(obsT.dtype))
+    p_new_x = ba.retract_point_T(pT, delta_p.astype(obsT.dtype))
+    R2, _, camp2 = ba._camera_tensors(cams_new)
+
+    p_new_k, cost_k = ba_pallas.point_update_cost(
+        cams.kind, pT, obsT, maskT.astype(obsT.dtype), R, dSt, camp, free,
+        lam, delta_c.astype(obsT.dtype), R2, camp2, delta, True,
+        interpret=True)
+
+    r = ba._project_residuals_T(cams_new, p_new_x, obsT)
+    r = jnp.where(maskT[:, None, :], r, 0.0)
+    cost_x = ba.robust_cost(r, maskT, delta)
+    np.testing.assert_allclose(np.asarray(p_new_k), np.asarray(p_new_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(cost_k), float(cost_x), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Compiled on-device checks. conftest.py pins the in-process suite to an
+# 8-device virtual CPU mesh, so the Mosaic lowering is exercised through a
+# subprocess with that pin stripped — it runs against the real chip whenever
+# one is attached and skips (exit 42) otherwise.
+
+_TPU_CHECK = r"""
+import sys
+import numpy as np
+import jax, jax.numpy as jnp
+
+try:
+    devs = jax.devices()
+except RuntimeError:
+    sys.exit(42)
+if not any(d.platform in ("tpu", "axon") for d in devs):
+    sys.exit(42)
+
+from tests.test_ba_pallas import _problem
+from orthosfm_tpu.config import BundleAdjustConfig
+from orthosfm_tpu.ops import matching
+from orthosfm_tpu.solvers import ba
+
+import dataclasses
+cfg_p = BundleAdjustConfig(max_iterations=15, function_tolerance=0.0,
+                           min_lambda=1e-12, use_pallas=True)
+cfg_x = dataclasses.replace(cfg_p, use_pallas=False)
+for kind in ("quat", "euler"):
+    cams, points, obs, mask = _problem(kind, num_views=8, n_points=1024)
+    rp = ba.run(cams, points, obs, mask, optimize_points=True, config=cfg_p)
+    rx = ba.run(cams, points, obs, mask, optimize_points=True, config=cfg_x)
+    np.testing.assert_allclose(float(rp.initial_cost), float(rx.initial_cost),
+                               rtol=1e-4)
+    # Near the optimum tiny f32 rounding differences compound across accepted
+    # steps, so compare convergence quality, not the (near-zero) costs exactly.
+    assert float(rp.cost) < float(rp.initial_cost) * 1e-2, kind
+    assert float(rx.cost) < float(rx.initial_cost) * 1e-2, kind
+
+rng = np.random.default_rng(0)
+d1 = rng.normal(size=(512, 128)).astype(np.float32)
+d2 = rng.normal(size=(640, 128)).astype(np.float32)
+d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+a, b = jnp.asarray(d1), jnp.asarray(d2)
+va, vb = jnp.asarray(np.arange(512) < 384), jnp.asarray(np.arange(640) < 500)
+mp = matching._match_pair_pallas(a, va, b, vb, 0.8)
+mx = matching._match_pair_xla(a, va, b, vb, 0.8)
+np.testing.assert_array_equal(np.asarray(mp), np.asarray(mx))
+print("TPU_CHECK_OK")
+"""
+
+
+def test_pallas_kernels_on_tpu():
+    """Mosaic-compiled BA (both kinds) + matcher vs their XLA paths on the
+    attached TPU. This is the regression gate for 'kernel fails to lower'."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", _TPU_CHECK], env=env,
+                          cwd=root, capture_output=True, text=True,
+                          timeout=900)
+    if proc.returncode == 42:
+        pytest.skip("no TPU attached")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "TPU_CHECK_OK" in proc.stdout
