@@ -38,31 +38,11 @@ def make_sharded_tk(mesh, cfg: RansacConfig = RansacConfig()):
         check_vma=False,
     )
     def _hypotheses(obs, valid, width, height, keys):
-        def hypothesis(hkey):
-            k_samp, k_q = jax.random.split(hkey)
-            gumbel = jax.random.gumbel(k_samp, (obs.shape[0],))
-            _, samp_idx = jax.lax.top_k(jnp.where(valid, gumbel, -jnp.inf), S)
-            sol1, _ = tk.factorize(obs[samp_idx], jnp.ones((S,), bool), k_q)
-            usable = tk.is_result_usable(sol1, cfg)
-            _, err = tk._triangulate_and_errors(sol1, obs, valid, width, height)
-            in_sample = jnp.zeros((obs.shape[0],), bool).at[samp_idx].set(True)
-            track_ok = jnp.all(err <= cfg.max_inlier_reprojection_error_px, axis=1)
-            consensus = valid & ~in_sample & track_ok
-            n_consensus = jnp.sum(consensus)
-            inlier = consensus | (in_sample & valid)
-            err_sum = jnp.sum(jnp.where(inlier[:, None], err, 0.0))
-            mean_err = err_sum / jnp.maximum(jnp.sum(inlier) * obs.shape[1], 1)
-            ok = usable & (n_consensus >= cfg.min_consensus_size)
-            score = jnp.where(
-                ok,
-                n_consensus.astype(obs.dtype)
-                + (cfg.max_inlier_reprojection_error_px
-                   - jnp.clip(mean_err, 0.0, cfg.max_inlier_reprojection_error_px))
-                / (10.0 * cfg.max_inlier_reprojection_error_px),
-                -jnp.inf)
-            return samp_idx, score, n_consensus
-
-        return jax.vmap(hypothesis)(keys)
+        # Same per-hypothesis body as the single-device driver — only the
+        # hypothesis batch is sharded here (scores all-gather for the argmax)
+        return jax.vmap(
+            lambda k: tk.score_hypothesis(k, obs, valid, width, height, cfg)
+        )(keys)
 
     @jax.jit
     def run(obs, valid, width, height, key) -> tk.TKResult:

@@ -38,6 +38,53 @@ class TooFewTracksError(RuntimeError):
     (reference: tomasi_kanade.cpp:202-205)."""
 
 
+class MeshRunners:
+    """Distributed solver dispatch for run_pose_estimation.
+
+    When a jax.sharding.Mesh with >1 device is supplied, every bundle
+    adjustment routes through parallel.ba_sharded (tracks/observations/point
+    blocks sharded over the mesh, psum-reduced camera system) and every
+    Tomasi-Kanade initialization through parallel.tk_sharded (hypotheses
+    sharded, scores all-gathered). Single-device meshes fall back to the plain
+    jit paths. Solver functions are cached per (optimize_points, config)."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+        self.n_devices = int(mesh.devices.size) if mesh is not None else 1
+        self.active = mesh is not None and self.n_devices > 1
+        self._ba_cache = {}
+        self._tk_cache = {}
+
+    def ba_run(self, cams, points4, obs, mask, optimize_points, config):
+        if not self.active:
+            return ba.run(cams, points4, obs, mask,
+                          optimize_points=optimize_points, config=config)
+        from orthosfm_tpu.parallel import ba_sharded
+
+        key = (bool(optimize_points), config)
+        if key not in self._ba_cache:
+            self._ba_cache[key] = ba_sharded.make_sharded_ba(
+                self.mesh, optimize_points=optimize_points, config=config)
+        (points_p, obs_p, mask_p), T = ba_sharded.pad_tracks(
+            [points4, obs, mask], self.n_devices)
+        points_p, obs_p, mask_p = ba_sharded.shard_track_arrays(
+            self.mesh, [points_p, obs_p, mask_p])
+        res = self._ba_cache[key](cams, points_p, obs_p, mask_p)
+        return ba.BAResult(cams=res.cams, points=res.points[:T],
+                           cost=res.cost, initial_cost=res.initial_cost,
+                           iterations=res.iterations)
+
+    def tk_run(self, obs, valid, widths, heights, key, cfg):
+        if not self.active:
+            return tk.robust_factorization(obs, valid, widths, heights, key,
+                                           cfg=cfg)
+        from orthosfm_tpu.parallel import tk_sharded
+
+        if cfg not in self._tk_cache:
+            self._tk_cache[cfg] = tk_sharded.make_sharded_tk(self.mesh, cfg=cfg)
+        return self._tk_cache[cfg](obs, valid, widths, heights, key)
+
+
 @dataclasses.dataclass
 class PoseEstimationResult:
     cameras: cam_mod.CameraSet  # V_total rows, only `present` valid
@@ -103,21 +150,46 @@ def initial_alignment(tracks: tracks_mod.TrackSet, ids, widths, heights,
                       solver: SolverType, key,
                       global_cams: Optional[cam_mod.CameraSet],
                       global_idx_pair,
-                      config: ReconstructionConfig) -> cam_mod.CameraSet:
+                      config: ReconstructionConfig,
+                      fallback_tracks: Optional[tracks_mod.TrackSet] = None,
+                      verbose: bool = False,
+                      runners: Optional[MeshRunners] = None) -> cam_mod.CameraSet:
     """calculateInitialAlignment analog (reference:
-    OrthoQuaternionRecoAlgorithm.cpp:23-50 / Orthographic...cpp:36-63)."""
+    OrthoQuaternionRecoAlgorithm.cpp:23-50 / Orthographic...cpp:36-63).
+
+    ``fallback_tracks`` (normally the pristine pre-filter track set) is used
+    when the filtered set has too few full-size tracks for the group. Under
+    heavy observation noise the global 1.5 px reprojection filter
+    (reference: outlier_filtering.cpp:140) strips every feature of the
+    already-placed cameras, which would starve all later groups — the
+    reference hard-throws there (tomasi_kanade.cpp:202-205). Falling back to
+    the unfiltered observations is safe for INITIALIZATION only, because the
+    RANSAC around Tomasi-Kanade provides its own outlier robustness; BA and
+    triangulation keep using the filtered set."""
     cols = _cols_for(tracks, ids)
     obs = tracks.obs[:, cols, :]
     valid = tracks_mod.full_size_mask(tracks, cols)
     n_valid = int(jnp.sum(valid))
     min_tracks = max(10, config.ransac.sample_size)
+    if n_valid < min_tracks and fallback_tracks is not None:
+        cols_fb = _cols_for(fallback_tracks, ids)
+        valid_fb = tracks_mod.full_size_mask(fallback_tracks, cols_fb)
+        if int(jnp.sum(valid_fb)) > n_valid:
+            if verbose:
+                print(f"  group {list(ids)}: only {n_valid} filtered full-size "
+                      "tracks; initializing from the unfiltered observations")
+            obs = fallback_tracks.obs[:, cols_fb, :]
+            valid = valid_fb
+            n_valid = int(jnp.sum(valid_fb))
     if n_valid < min_tracks:
         raise TooFewTracksError(
             f"group {list(ids)}: only {n_valid} full-size tracks (<{min_tracks})")
 
     w = jnp.asarray(np.asarray(widths, np.float32))
     h = jnp.asarray(np.asarray(heights, np.float32))
-    res = tk.robust_factorization(obs, valid, w, h, key, cfg=config.ransac)
+    if runners is None:
+        runners = MeshRunners(None)
+    res = runners.tk_run(obs, valid, w, h, key, config.ransac)
     if global_cams is None:
         model = res.model1
     else:
@@ -126,19 +198,19 @@ def initial_alignment(tracks: tracks_mod.TrackSet, ids, widths, heights,
     return _make_group_cameras(np.asarray(model), ids, widths, heights, solver)
 
 
-def _local_ba(local_cams, tracks, cols, config):
+def _local_ba(local_cams, tracks, cols, config, runners):
     """Local bundle adjustment with retriangulation; only cameras persist
     (reference: reconstruct.cpp:219 + bundle_adjustment.cpp:74-83)."""
     shared = tracks_mod.shared_mask(tracks, cols)
     local = tracks.replace(alive=shared)
     local = triangulate.triangulate_tracks(local_cams, local, cols)
     mask = local.obs_mask[:, cols] & local.alive[:, None] & local.has_point[:, None]
-    res = ba.run(local_cams, local.points, local.obs[:, jnp.asarray(cols)], mask,
-                 optimize_points=True, config=config.ba)
+    res = runners.ba_run(local_cams, local.points, local.obs[:, jnp.asarray(cols)],
+                         mask, optimize_points=True, config=config.ba)
     return res.cams, res
 
 
-def _global_ba(global_cams, present, tracks, config):
+def _global_ba(global_cams, present, tracks, config, runners):
     """Global bundle adjustment over all present cameras; optimizes and writes
     back point positions (reference: reconstruct.cpp:261, 281)."""
     cols = _cols_for(tracks, np.asarray(global_cams.view_ids)[present])
@@ -148,8 +220,8 @@ def _global_ba(global_cams, present, tracks, config):
     all_cols = _cols_for(tracks, np.asarray(global_cams.view_ids))
     mask = (tracks.obs_mask[:, all_cols] & present_cols[None, all_cols]
             & tracks.alive[:, None] & tracks.has_point[:, None])
-    res = ba.run(cams, tracks.points, tracks.obs[:, jnp.asarray(all_cols)], mask,
-                 optimize_points=True, config=config.ba)
+    res = runners.ba_run(cams, tracks.points, tracks.obs[:, jnp.asarray(all_cols)],
+                         mask, optimize_points=True, config=config.ba)
     new_cams = res.cams.replace(fixed=global_cams.fixed)
     # Rescale optimized (unit-norm) points back to w=1 form for export/filters
     pts = res.points
@@ -161,14 +233,25 @@ def _global_ba(global_cams, present, tracks, config):
 
 def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
                         config: ReconstructionConfig,
-                        verbose: bool = True) -> PoseEstimationResult:
-    """Full incremental alignment (reference: reconstruct.cpp:174-295)."""
+                        verbose: bool = True,
+                        mesh=None) -> PoseEstimationResult:
+    """Full incremental alignment (reference: reconstruct.cpp:174-295).
+
+    ``mesh``: optional jax.sharding.Mesh. With >1 device, every bundle
+    adjustment and Tomasi-Kanade initialization runs through the sharded
+    solvers (parallel.ba_sharded / parallel.tk_sharded) — tracks and RANSAC
+    hypotheses partitioned over the mesh, collectives over ICI."""
+    runners = MeshRunners(mesh)
     solver = config.solver
     view_ids = np.asarray(tracks.view_ids)
     V = len(view_ids)
     widths = np.broadcast_to(np.asarray(widths, np.float32), (V,))
     heights = np.broadcast_to(np.asarray(heights, np.float32), (V,))
     key = jax.random.PRNGKey(config.seed)
+
+    # Pristine snapshot for initialization fallback under heavy noise (the
+    # global filters below mutate obs_mask/alive; see initial_alignment)
+    pristine_tracks = tracks
 
     inc = np.asarray(tracks_mod.incidence(tracks)).astype(bool)
     groups = grouping.build_groups(view_ids, inc, config.group_size)
@@ -194,10 +277,14 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
         if present.any():
             pair = (col_of[ids[0]], col_of[ids[1]])
             local_cams = initial_alignment(tracks, ids, widths[cols], heights[cols],
-                                           solver, k_init, global_cams, pair, config)
+                                           solver, k_init, global_cams, pair, config,
+                                           fallback_tracks=pristine_tracks,
+                                           verbose=verbose, runners=runners)
         else:
             local_cams = initial_alignment(tracks, ids, widths[cols], heights[cols],
-                                           solver, k_init, None, None, config)
+                                           solver, k_init, None, None, config,
+                                           fallback_tracks=pristine_tracks,
+                                           verbose=verbose, runners=runners)
 
         # Reprojection outlier filter on the LOCAL track copy (reconstruct.cpp:212)
         local_tracks = outliers.filter_tracks_reprojection_error(
@@ -207,7 +294,8 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
         if first_group:
             local_cams = local_cams.replace(fixed=local_cams.fixed.at[0].set(True))
 
-        local_cams, ba_res = _local_ba(local_cams, local_tracks, cols, config)
+        local_cams, ba_res = _local_ba(local_cams, local_tracks, cols, config,
+                                       runners)
         if verbose:
             print(f"  local BA: cost {float(ba_res.initial_cost):.1f} -> "
                   f"{float(ba_res.cost):.1f} in {int(ba_res.iterations)} iters")
@@ -240,7 +328,8 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
             tracks = _triangulate_global(global_cams, present, tracks)
 
             if processed % config.global_ba_interval == 0:
-                global_cams, tracks, res = _global_ba(global_cams, present, tracks, config)
+                global_cams, tracks, res = _global_ba(global_cams, present,
+                                                      tracks, config, runners)
                 if verbose:
                     print(f"  global BA: cost {float(res.initial_cost):.1f} -> "
                           f"{float(res.cost):.1f} in {int(res.iterations)} iters")
@@ -256,7 +345,8 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
                 print(cam_mod.format_cameras(global_cams, mask=present))
 
     # Final global BA + normalize (reconstruct.cpp:281-282)
-    global_cams, tracks, res = _global_ba(global_cams, present, tracks, config)
+    global_cams, tracks, res = _global_ba(global_cams, present, tracks, config,
+                                          runners)
     if verbose:
         print(f"final BA: cost {float(res.initial_cost):.1f} -> {float(res.cost):.1f} "
               f"in {int(res.iterations)} iters")

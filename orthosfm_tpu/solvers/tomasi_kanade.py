@@ -146,6 +146,50 @@ class TKResult(NamedTuple):
     found: jnp.ndarray  # bool — consensus model found (else fallback used)
 
 
+def score_hypothesis(hkey, obs, valid, width, height, cfg: RansacConfig):
+    """One RANSAC hypothesis: sample → factorize → validity heuristic →
+    triangulate → consensus score (reference: tomasi_kanade.cpp:225-343).
+
+    Shared by the single-device vmap driver (robust_factorization) and the
+    hypothesis-sharded shard_map driver (parallel.tk_sharded) so the selection
+    statistic can never diverge between them. Returns
+    (samp_idx (S,), score scalar, n_consensus scalar)."""
+    T = obs.shape[0]
+    S = cfg.sample_size
+    k_samp, k_q = jax.random.split(hkey)
+    # Gumbel top-k = uniform sample of S valid tracks without replacement
+    gumbel = jax.random.gumbel(k_samp, (T,))
+    scores = jnp.where(valid, gumbel, -jnp.inf)
+    _, samp_idx = jax.lax.top_k(scores, S)
+    samp_obs = obs[samp_idx]  # (S, G, 2)
+
+    sol1, _ = factorize(samp_obs, jnp.ones((S,), bool), k_q)
+    usable = is_result_usable(sol1, cfg)
+
+    pts, err = _triangulate_and_errors(sol1, obs, valid, width, height)
+    in_sample = jnp.zeros((T,), bool).at[samp_idx].set(True)
+    track_ok = jnp.all(err <= cfg.max_inlier_reprojection_error_px, axis=1)
+    consensus = valid & ~in_sample & track_ok
+    n_consensus = jnp.sum(consensus)
+
+    # Model error over the inlier set (sample + consensus), matching the
+    # reference's selection statistic (tomasi_kanade.cpp:318-343)
+    inlier = consensus | (in_sample & valid)
+    err_sum = jnp.sum(jnp.where(inlier[:, None], err, 0.0))
+    mean_err = err_sum / jnp.maximum(jnp.sum(inlier) * obs.shape[1], 1)
+
+    ok = usable & (n_consensus >= cfg.min_consensus_size)
+    # Primary: consensus size; secondary: small mean error
+    score = jnp.where(
+        ok,
+        n_consensus.astype(obs.dtype)
+        + (cfg.max_inlier_reprojection_error_px - jnp.clip(mean_err, 0.0, cfg.max_inlier_reprojection_error_px))
+        / (10.0 * cfg.max_inlier_reprojection_error_px),
+        -jnp.inf,
+    )
+    return samp_idx, score, n_consensus
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def robust_factorization(obs, valid, width, height, key,
                          cfg: RansacConfig = RansacConfig()) -> TKResult:
@@ -158,46 +202,12 @@ def robust_factorization(obs, valid, width, height, key,
     """
     H = cfg.max_iterations
     S = cfg.sample_size
-    T = obs.shape[0]
     keys = jax.random.split(key, H + 1)
     width = jnp.asarray(width, obs.dtype)
     height = jnp.asarray(height, obs.dtype)
 
-    def hypothesis(hkey):
-        k_samp, k_q = jax.random.split(hkey)
-        # Gumbel top-k = uniform sample of S valid tracks without replacement
-        gumbel = jax.random.gumbel(k_samp, (T,))
-        scores = jnp.where(valid, gumbel, -jnp.inf)
-        _, samp_idx = jax.lax.top_k(scores, S)
-        samp_obs = obs[samp_idx]  # (S, G, 2)
-
-        sol1, _ = factorize(samp_obs, jnp.ones((S,), bool), k_q)
-        usable = is_result_usable(sol1, cfg)
-
-        pts, err = _triangulate_and_errors(sol1, obs, valid, width, height)
-        in_sample = jnp.zeros((T,), bool).at[samp_idx].set(True)
-        track_ok = jnp.all(err <= cfg.max_inlier_reprojection_error_px, axis=1)
-        consensus = valid & ~in_sample & track_ok
-        n_consensus = jnp.sum(consensus)
-
-        # Model error over the inlier set (sample + consensus), matching the
-        # reference's selection statistic (tomasi_kanade.cpp:318-343)
-        inlier = consensus | (in_sample & valid)
-        err_sum = jnp.sum(jnp.where(inlier[:, None], err, 0.0))
-        mean_err = err_sum / jnp.maximum(jnp.sum(inlier) * obs.shape[1], 1)
-
-        ok = usable & (n_consensus >= cfg.min_consensus_size)
-        # Primary: consensus size; secondary: small mean error
-        score = jnp.where(
-            ok,
-            n_consensus.astype(obs.dtype)
-            + (cfg.max_inlier_reprojection_error_px - jnp.clip(mean_err, 0.0, cfg.max_inlier_reprojection_error_px))
-            / (10.0 * cfg.max_inlier_reprojection_error_px),
-            -jnp.inf,
-        )
-        return samp_idx, score, n_consensus
-
-    samp_idx_all, scores, n_con = jax.vmap(hypothesis)(keys[:H])
+    samp_idx_all, scores, n_con = jax.vmap(
+        lambda k: score_hypothesis(k, obs, valid, width, height, cfg))(keys[:H])
     best = jnp.argmax(scores)
     found = scores[best] > -jnp.inf
 
