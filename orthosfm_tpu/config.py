@@ -120,6 +120,9 @@ class MatchingConfig:
     sift_contrast_threshold: float = 0.02 / 3.0  # contrast / samples_per_octave
     sift_edge_ratio: float = 10.0
     sift_num_octaves: int = 5  # min_octave 0 .. max_octave 4
+    # −1 enables the 2× upscale octave (CudaSift always runs upscaled,
+    # reference: cudaSiftH.cu:114-129, matching.cpp:47-52; MVE default is 0)
+    sift_min_octave: int = 0
     sift_samples_per_octave: int = 3
     sift_base_blur: float = 1.6
     sift_inherent_blur: float = 0.5
@@ -161,10 +164,6 @@ class ReconstructionConfig:
     group_size: int = 3
     global_ba_interval: int = 3
     camera_distance: float = 10.0  # reference: OrthographicCamera.h:119
-
-    # Padded-tensor capacities (TPU static-shape requirement; tracks beyond the
-    # capacity are dropped with a warning rather than silently truncated)
-    max_tracks: int = 16384
 
     ransac: RansacConfig = dataclasses.field(default_factory=RansacConfig)
     ba: BundleAdjustConfig = dataclasses.field(default_factory=BundleAdjustConfig)

@@ -8,12 +8,49 @@ observation mask instead of list surgery.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from orthosfm_tpu.config import FilterConfig
 from orthosfm_tpu.core import cameras as cam_mod
 from orthosfm_tpu.data import tracks as tracks_mod
 from orthosfm_tpu.ops import triangulate
+
+
+_NN_CHUNK = 2048  # rows per tile of the pairwise-distance sweep
+
+
+def nearest_neighbor_distances(pts, has_pt):
+    """Min distance from each pointed track to any other pointed track.
+
+    The reference's O(N²) scan (outlier_filtering.cpp:14-38) becomes a
+    row-chunked matmul sweep: each (chunk × T) distance tile is one MXU
+    matmul + reduction, and only O(chunk·T) memory is live — so the filter
+    scales to ≥100k tracks instead of materializing a T×T matrix."""
+    T = pts.shape[0]
+    big = jnp.asarray(1e12, pts.dtype)
+    sq = jnp.sum(pts * pts, axis=-1)  # (T,)
+    chunk = min(_NN_CHUNK, T)
+    n_chunks = -(-T // chunk)
+    T_pad = n_chunks * chunk
+    pts_p = jnp.pad(pts, ((0, T_pad - T), (0, 0)))
+    sq_p = jnp.pad(sq, (0, T_pad - T))
+    valid_p = jnp.pad(has_pt, (0, T_pad - T))
+    idx_p = jnp.arange(T_pad)
+
+    def tile(args):
+        p_c, sq_c, v_c, i_c = args  # (chunk, 4), (chunk,), (chunk,), (chunk,)
+        d2 = sq_c[:, None] + sq[None, :] - 2.0 * (p_c @ pts.T)  # (chunk, T)
+        d2 = jnp.maximum(d2, 0.0)
+        pair_valid = v_c[:, None] & has_pt[None, :] & (i_c[:, None] != jnp.arange(T)[None, :])
+        return jnp.min(jnp.where(pair_valid, d2, big), axis=1)
+
+    d2min = jax.lax.map(tile, (pts_p.reshape(n_chunks, chunk, 4),
+                               sq_p.reshape(n_chunks, chunk),
+                               valid_p.reshape(n_chunks, chunk),
+                               idx_p.reshape(n_chunks, chunk)))
+    nn = jnp.sqrt(d2min.reshape(T_pad)[:T])
+    return jnp.where(has_pt, nn, 0.0)
 
 
 def filter_outlier_tracks(tracks: tracks_mod.TrackSet,
@@ -29,15 +66,7 @@ def filter_outlier_tracks(tracks: tracks_mod.TrackSet,
     """
     has_pt = tracks.has_point & tracks.alive
     pts = tracks.points  # (T, 4) homogeneous; reference measures 4-D norms
-    # Pairwise distances among pointed tracks (masked); ||a-b||² = |a|²+|b|²-2ab
-    sq = jnp.sum(pts * pts, axis=-1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (pts @ pts.T)
-    d2 = jnp.maximum(d2, 0.0)
-    big = jnp.asarray(1e12, pts.dtype)
-    pair_valid = has_pt[:, None] & has_pt[None, :] & ~jnp.eye(pts.shape[0], dtype=bool)
-    d2 = jnp.where(pair_valid, d2, big)
-    nn = jnp.sqrt(jnp.min(d2, axis=1))  # (T,) min distance to another point
-    nn = jnp.where(has_pt, nn, 0.0)
+    nn = nearest_neighbor_distances(pts, has_pt)
 
     n = jnp.maximum(jnp.sum(has_pt), 1)
     mean = jnp.sum(nn) / n
