@@ -452,15 +452,42 @@ def extract_octave(base, has_sigma: float, cap: int):
                           desc=desc, valid=fv & dvalid)
 
 
+def double_size_supersample(img):
+    """2× upscale by 4-tap supersampling with edge clamping — bit-matches
+    MVE's rescale_double_size_supersample (mve/mve/image_tools.h:790-826):
+    out[y,x] averages in[y>>1, x>>1], in[y>>1,(x+1)>>1], in[(y+1)>>1, x>>1]
+    and in[(y+1)>>1,(x+1)>>1]."""
+    a = img
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    diag = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    H, W = img.shape
+    top = jnp.stack([a, 0.5 * (a + right)], -1).reshape(H, 2 * W)
+    bot = jnp.stack([0.5 * (a + down), 0.25 * (a + right + down + diag)],
+                    -1).reshape(H, 2 * W)
+    return jnp.stack([top, bot], 1).reshape(2 * H, 2 * W)
+
+
 def extract(image_gray, per_octave_cap: int = 2048, max_octave: int = MAX_OCTAVE,
             min_octave: int = 0):
     """Multi-octave SIFT on a grayscale float image → Features in input-image
-    pixel coordinates (x_img = 2^o·(x+0.5)−0.5, sift.cc:545-547)."""
-    assert min_octave >= 0, "octave -1 (2x upsample) not enabled by default"
+    pixel coordinates (x_img = 2^o·(x+0.5)−0.5, sift.cc:545-547).
+
+    min_octave = −1 prepends the 2× upscale octave: the doubled image carries
+    inherent blur 2·0.5 = 1.0 (sift.cc:178-184; the CudaSift path always runs
+    with this upscale, cudaSiftH.cu:114-129 / matching.cpp:47-52)."""
+    assert min_octave >= -1, "octaves below -1 are not defined"
+    all_feats = []
     img = image_gray
     has_sigma = INHERENT_BLUR
-    all_feats = []
     for o in range(min_octave, max_octave + 1):
+        if o == -1:
+            img = double_size_supersample(image_gray)
+            has_sigma = INHERENT_BLUR * 2.0
+        elif o == 0:
+            # Octave 0 always starts from the original image (sift.cc:195-199)
+            img = image_gray
+            has_sigma = INHERENT_BLUR
         h, w = img.shape
         if min(h, w) < 16:
             break
@@ -470,8 +497,9 @@ def extract(image_gray, per_octave_cap: int = 2048, max_octave: int = MAX_OCTAVE
         scale = BASE_BLUR * 2.0 ** (o + (of.sample + 1.0) / SAMPLES)
         all_feats.append(Features(xy=xy, scale=scale, orientation=of.orientation,
                                   desc=of.desc, valid=of.valid))
-        img = half_size_gaussian(img)
-        has_sigma = BASE_BLUR
+        if o >= 0:
+            img = half_size_gaussian(img)
+            has_sigma = BASE_BLUR
     return Features(
         xy=jnp.concatenate([f.xy for f in all_feats]),
         scale=jnp.concatenate([f.scale for f in all_feats]),

@@ -115,3 +115,38 @@ def test_lowres_subset():
     valid = jnp.asarray(np.array([True, True, True, False, True]))
     idx = np.asarray(mo.lowres_subset(scale, valid, 2))
     assert set(idx.tolist()) == {1, 2}  # largest valid scales, 9.0 masked out
+
+
+def test_sift_upscale_octave():
+    """Octave −1 (2× supersampled upscale, reference: mve sift.cc:178-184 and
+    the always-on CudaSift upscale, cudaSiftH.cu:114-129) must produce MORE
+    features than octave 0+, at consistent input-image coordinates."""
+    centers, amps, sigmas = _scene(seed=3)
+    img = _blob_image(centers, amps, sigmas)
+    f0 = sift.extract(jnp.asarray(img), per_octave_cap=256)
+    fm1 = sift.extract(jnp.asarray(img), per_octave_cap=256, min_octave=-1)
+    n0, nm1 = int(f0.valid.sum()), int(fm1.valid.sum())
+    assert nm1 > n0, (nm1, n0)
+
+    # Keypoints found at octave ≥0 must still be found with the upscale on,
+    # at (approximately) the same positions
+    xy0 = np.asarray(f0.xy)[np.asarray(f0.valid)]
+    xym1 = np.asarray(fm1.xy)[np.asarray(fm1.valid)]
+    d = np.linalg.norm(xy0[:, None, :] - xym1[None, :, :], axis=-1).min(axis=1)
+    assert np.median(d) < 1.0, np.median(d)
+
+    # All upscale-octave coordinates must stay inside the input image
+    assert xym1.min() > -1.5
+    assert xym1.max() < img.shape[0] + 1.5
+
+
+def test_double_size_supersample_values():
+    img = jnp.asarray(np.arange(6, dtype=np.float32).reshape(2, 3))
+    up = np.asarray(sift.double_size_supersample(img))
+    assert up.shape == (4, 6)
+    # out[2i,2j] = in[i,j]; out[2i,2j+1] = avg row-neighbours;
+    # out[2i+1,2j] = avg col-neighbours; corners clamp
+    np.testing.assert_allclose(up[0, :3], [0.0, 0.5, 1.0])
+    np.testing.assert_allclose(up[1, 0], 1.5)   # (0+3)/2
+    np.testing.assert_allclose(up[1, 1], 2.0)   # (0+1+3+4)/4
+    np.testing.assert_allclose(up[3, 5], 5.0)   # clamped corner
