@@ -63,7 +63,8 @@ def extract_view_features(view: View, config: ReconstructionConfig) -> ViewFeatu
         gray = np.asarray(sift.half_size_gaussian(jnp.asarray(gray)))
         halvings += 1
 
-    feats = sift.extract(jnp.asarray(gray))
+    feats = sift.extract(jnp.asarray(gray),
+                         min_octave=config.matching.sift_min_octave)
     v = np.asarray(feats.valid)
     xy_s = np.asarray(feats.xy)[v]
     scale_s = np.asarray(feats.scale)[v] * (2.0**halvings)
@@ -110,106 +111,167 @@ def _padded(arr, n, fill=0.0):
     return out
 
 
-def _match_combined(fi: ViewFeatures, fj: ViewFeatures, m) -> np.ndarray:
-    """Match SIFT and SURF descriptors separately (their own Lowe ratios,
-    MVE matching_base.h:27-31) and combine the per-type match lists with
-    index offsets (matching.cc combine_results). Returns combined m12."""
-    out = np.full(fi.count, -1, np.int64)
-    specs = [
-        (fi.sift_desc, fj.sift_desc, m.lowe_ratio, 0, 0),
-        (fi.surf_desc, fj.surf_desc, m.surf_lowe_ratio, fi.n_sift, fj.n_sift),
-    ]
-    for dA, dB, ratio, off_i, off_j in specs:
-        na, nb = dA.shape[0], dB.shape[0]
-        if na == 0 or nb == 0:
-            continue
-        ba, bb = _bucket(na), _bucket(nb)
-        m12 = match_ops.match_pair(
-            jnp.asarray(_padded(dA, ba)), jnp.arange(ba) < na,
-            jnp.asarray(_padded(dB, bb)), jnp.arange(bb) < nb,
+def _stack_descriptors(descs, cap):
+    """(V, cap, D) stacked+padded descriptor tensor and (V,) counts."""
+    V = len(descs)
+    D = descs[0].shape[1]
+    out = np.zeros((V, cap, D), np.float32)
+    counts = np.zeros(V, np.int32)
+    for v, d in enumerate(descs):
+        n = min(d.shape[0], cap)
+        out[v, :n] = d[:n]
+        counts[v] = n
+    return out, counts
+
+
+def _batched_pair_matches(stack, counts, pairs, ratio, pair_valid_n=None):
+    """Run match_pairs_batched over `pairs` in MXU-friendly chunks.
+
+    stack: (V, N, D) np; counts: (V,); pairs: list of (i, j).
+    pair_valid_n: optional (P, 2) per-pair valid-count override (lowres gate).
+    Returns (P, N) int matches array (np)."""
+    P = len(pairs)
+    N = stack.shape[1]
+    if P == 0:
+        return np.zeros((0, N), np.int64)
+    # Cap batch so the (B, N, N) similarity block stays ≲1 GB
+    B = max(1, min(P, (1 << 28) // max(N * N, 1)))
+    stack_d = jnp.asarray(stack)
+    iota = np.arange(N)
+    out = np.zeros((P, N), np.int64)
+    for s in range(0, P, B):
+        chunk = pairs[s:s + B]
+        bi = np.array([p[0] for p in chunk])
+        bj = np.array([p[1] for p in chunk])
+        ci = counts[bi] if pair_valid_n is None else pair_valid_n[s:s + B, 0]
+        cj = counts[bj] if pair_valid_n is None else pair_valid_n[s:s + B, 1]
+        v1 = jnp.asarray(iota[None, :] < ci[:, None])
+        v2 = jnp.asarray(iota[None, :] < cj[:, None])
+        m12 = match_ops.match_pairs_batched(
+            stack_d[jnp.asarray(bi)], v1, stack_d[jnp.asarray(bj)], v2,
             lowe_ratio=float(ratio))
-        m12 = np.asarray(m12)[:na]
-        hit = m12 >= 0
-        out[off_i:off_i + na][hit] = m12[hit] + off_j
+        out[s:s + B] = np.asarray(m12)
     return out
 
 
 def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
                     verbose: bool = True):
     """Exhaustive pairwise matching with gates; returns
-    [(i, j, idx_i, idx_j), ...] inlier match lists."""
+    [(i, j, idx_i, idx_j), ...] inlier match lists.
+
+    TPU-first orchestration: instead of the reference's omp-parallel per-pair
+    loop (bundler_matching.cc:74-96), descriptors stack into (V, N, D)
+    tensors once and the low-res gate + full SIFT/SURF matching run as
+    BATCHED device programs over pair chunks — one compiled program for the
+    whole stage, MXU-saturating similarity matmuls, no per-pair dispatch."""
     m = config.matching
     n_views = len(features)
     key = jax.random.PRNGKey(config.seed + 7919)
+    all_pairs = [(i, j) for i in range(n_views) for j in range(i + 1, n_views)
+                 if features[i].count and features[j].count]
+    if not all_pairs:
+        if verbose:
+            print("Found a total of 0 matching image pairs.")
+        return []
+
+    # --- Low-res matchability gate on SIFT descriptors, batched
+    # (two_view_matching, bundler_matching.cc:146-158)
+    gated = [(i, j) for (i, j) in all_pairs
+             if features[i].count * features[j].count > 1_000_000
+             and features[i].n_sift and features[j].n_sift]
+    passed = {p: True for p in all_pairs}
+    if gated:
+        nlow_cap = min(m.lowres_feature_count,
+                       max(features[i].n_sift for i, _ in gated),
+                       max(features[j].n_sift for _, j in gated))
+        low_descs = []
+        for f in features:
+            order = np.argsort(-f.scale[:f.n_sift])[:nlow_cap]
+            low_descs.append(f.sift_desc[order])
+        low_stack, low_counts = _stack_descriptors(low_descs, nlow_cap)
+        # Per-pair symmetric count: min(cap, n_i, n_j) from each view
+        pv = np.array([[min(low_counts[i], low_counts[j])] * 2
+                       for (i, j) in gated], np.int32)
+        m_low = _batched_pair_matches(low_stack, low_counts, gated,
+                                      m.lowe_ratio, pair_valid_n=pv)
+        for p, row in zip(gated, m_low):
+            if int((row >= 0).sum()) < m.lowres_match_threshold:
+                passed[p] = False
+                if verbose:
+                    print(f"Pair ({p[0]},{p[1]}) rejected, low-res matches "
+                          f"below {m.lowres_match_threshold}.")
+    pairs = [p for p in all_pairs if passed[p]]
+
+    # --- Full SIFT + SURF matching, batched per descriptor type
+    ns_cap = _bucket(max(f.n_sift for f in features))
+    sift_stack, sift_counts = _stack_descriptors(
+        [f.sift_desc for f in features], ns_cap)
+    m_sift = _batched_pair_matches(sift_stack, sift_counts, pairs, m.lowe_ratio)
+    nu_max = max(f.surf_desc.shape[0] for f in features)
+    if nu_max > 0:
+        nu_cap = _bucket(nu_max)
+        surf_stack, surf_counts = _stack_descriptors(
+            [f.surf_desc for f in features], nu_cap)
+        m_surf = _batched_pair_matches(surf_stack, surf_counts, pairs,
+                                       m.surf_lowe_ratio)
+    else:
+        m_surf = np.zeros((len(pairs), 0), np.int64)
+
     results = []
-    for i in range(n_views):
-        for j in range(i + 1, n_views):
-            fi, fj = features[i], features[j]
-            ni, nj = fi.count, fj.count
-            if ni == 0 or nj == 0:
-                continue
+    for pi, (i, j) in enumerate(pairs):
+        fi, fj = features[i], features[j]
+        # Combine the per-type match lists with index offsets
+        # (mve/sfm/matching.cc combine_results)
+        m12 = np.full(fi.count, -1, np.int64)
+        row = m_sift[pi, :fi.n_sift]
+        hit = row >= 0
+        m12[:fi.n_sift][hit] = row[hit]
+        n_surf_i = fi.count - fi.n_sift
+        if n_surf_i and m_surf.shape[1]:
+            row = m_surf[pi, :n_surf_i]
+            hit = row >= 0
+            m12[fi.n_sift:][hit] = row[hit] + fj.n_sift
 
-            # Low-res matchability gate on SIFT descriptors
-            # (two_view_matching, bundler_matching.cc:146-158)
-            if ni * nj > 1_000_000 and fi.n_sift and fj.n_sift:
-                nlow = min(m.lowres_feature_count, fi.n_sift, fj.n_sift)
-                si = np.asarray(match_ops.lowres_subset(
-                    jnp.asarray(fi.scale[:fi.n_sift]),
-                    jnp.ones(fi.n_sift, bool), nlow))
-                sj = np.asarray(match_ops.lowres_subset(
-                    jnp.asarray(fj.scale[:fj.n_sift]),
-                    jnp.ones(fj.n_sift, bool), nlow))
-                m_low = match_ops.match_pair(
-                    jnp.asarray(fi.sift_desc[si]), jnp.ones(nlow, bool),
-                    jnp.asarray(fj.sift_desc[sj]), jnp.ones(nlow, bool),
-                    lowe_ratio=m.lowe_ratio)
-                if int(match_ops.count_matches(m_low)) < m.lowres_match_threshold:
-                    if verbose:
-                        print(f"Pair ({i},{j}) rejected, low-res matches below "
-                              f"{m.lowres_match_threshold}.")
-                    continue
-
-            m12 = _match_combined(fi, fj, m)
-            n_match = int((m12 >= 0).sum())
-            if n_match < max(8, m.min_feature_matches):
-                if verbose:
-                    print(f"Pair ({i},{j}) rejected, {n_match} matches below "
-                          f"threshold {max(8, m.min_feature_matches)}.")
-                continue
-
-            idx_i = np.flatnonzero(m12 >= 0)
-            idx_j = m12[idx_i]
-            key, k = jax.random.split(key)
-            if m.pair_verification == "homography":
-                # CudaSift-style verification on pixel coordinates
-                from orthosfm_tpu.ops import ransac_h
-
-                p1 = jnp.asarray(_padded(fi.xy[idx_i], _bucket(len(idx_i), 256)))
-                p2 = jnp.asarray(_padded(fj.xy[idx_j], p1.shape[0]))
-                valid = jnp.arange(p1.shape[0]) < len(idx_i)
-                res = ransac_h.find_homography(
-                    p1, p2, valid, k, iterations=m.homography_iterations,
-                    threshold_px=m.homography_threshold_px,
-                    find_threshold_px=m.homography_find_threshold_px)
-                min_required = m.homography_min_inliers
-            else:
-                p1 = jnp.asarray(_padded(fi.norm_xy[idx_i], _bucket(len(idx_i), 256)))
-                p2 = jnp.asarray(_padded(fj.norm_xy[idx_j], p1.shape[0]))
-                valid = jnp.arange(p1.shape[0]) < len(idx_i)
-                res = ransac_f.ransac_fundamental(
-                    p1, p2, valid, k, iterations=m.ransac_f_iterations,
-                    threshold=m.ransac_f_threshold)
-                min_required = max(m.min_pair_inliers_to_accept, m.min_matching_inliers)
-            n_inl = int(res.num_inliers)
-            if n_inl < min_required:
-                if verbose:
-                    print(f"Pair ({i},{j}) rejected, {n_inl} inliers below "
-                          f"threshold {min_required}.")
-                continue
-            inl = np.asarray(res.inliers)[: len(idx_i)]
-            results.append((i, j, idx_i[inl], idx_j[inl]))
+        n_match = int((m12 >= 0).sum())
+        if n_match < max(8, m.min_feature_matches):
             if verbose:
-                print(f"Pair ({i},{j}) matched, {n_inl} inliers.")
+                print(f"Pair ({i},{j}) rejected, {n_match} matches below "
+                      f"threshold {max(8, m.min_feature_matches)}.")
+            continue
+
+        idx_i = np.flatnonzero(m12 >= 0)
+        idx_j = m12[idx_i]
+        key, k = jax.random.split(key)
+        if m.pair_verification == "homography":
+            # CudaSift-style verification on pixel coordinates
+            from orthosfm_tpu.ops import ransac_h
+
+            p1 = jnp.asarray(_padded(fi.xy[idx_i], _bucket(len(idx_i), 256)))
+            p2 = jnp.asarray(_padded(fj.xy[idx_j], p1.shape[0]))
+            valid = jnp.arange(p1.shape[0]) < len(idx_i)
+            res = ransac_h.find_homography(
+                p1, p2, valid, k, iterations=m.homography_iterations,
+                threshold_px=m.homography_threshold_px,
+                find_threshold_px=m.homography_find_threshold_px)
+            min_required = m.homography_min_inliers
+        else:
+            p1 = jnp.asarray(_padded(fi.norm_xy[idx_i], _bucket(len(idx_i), 256)))
+            p2 = jnp.asarray(_padded(fj.norm_xy[idx_j], p1.shape[0]))
+            valid = jnp.arange(p1.shape[0]) < len(idx_i)
+            res = ransac_f.ransac_fundamental(
+                p1, p2, valid, k, iterations=m.ransac_f_iterations,
+                threshold=m.ransac_f_threshold)
+            min_required = max(m.min_pair_inliers_to_accept, m.min_matching_inliers)
+        n_inl = int(res.num_inliers)
+        if n_inl < min_required:
+            if verbose:
+                print(f"Pair ({i},{j}) rejected, {n_inl} inliers below "
+                      f"threshold {min_required}.")
+            continue
+        inl = np.asarray(res.inliers)[: len(idx_i)]
+        results.append((i, j, idx_i[inl], idx_j[inl]))
+        if verbose:
+            print(f"Pair ({i},{j}) matched, {n_inl} inliers.")
     if verbose:
         print(f"Found a total of {len(results)} matching image pairs.")
     return results
