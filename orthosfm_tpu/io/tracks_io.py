@@ -33,6 +33,16 @@ def _fmt(v: float) -> str:
 
 
 def load_tracks(path: str, view_ids, capacity: int | None = None) -> tracks_mod.TrackSet:
+    # Fast path: the native C parser + vectorized construction (the pure-
+    # Python loop below is the behavioral reference and the fallback)
+    from orthosfm_tpu import native
+
+    parsed = native.parse_tracks_file(path)
+    if parsed is not None:
+        counts, vid, lid, gid, xy, rgb = parsed
+        return tracks_mod.from_flat_arrays(counts, vid, lid, gid, xy, rgb,
+                                           view_ids, capacity=capacity)
+
     track_list = []
     with open(path) as f:
         for line in f:
