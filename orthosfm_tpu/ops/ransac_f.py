@@ -70,3 +70,19 @@ def ransac_fundamental(p1, p2, valid, key, iterations: int = 1000,
     inliers = (sampson_distance(F, p1, p2) < thresh2) & valid
     return RansacFResult(inliers=inliers, num_inliers=jnp.sum(inliers),
                          fundamental=F)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def ransac_fundamental_batched(p1, p2, valid, key, iterations: int = 1000,
+                               threshold: float = 0.0015) -> RansacFResult:
+    """Pair-batched RANSAC-F: p1, p2 (P, M, 2); valid (P, M).
+
+    One compiled program verifies a whole batch of candidate pairs (the
+    per-pair dispatch of the host loop disappears); semantics per pair are
+    identical to ransac_fundamental. Returns stacked RansacFResult fields."""
+    keys = jax.random.split(key, p1.shape[0])
+    return jax.vmap(
+        lambda a, b, v, k: ransac_fundamental(a, b, v, k,
+                                              iterations=iterations,
+                                              threshold=threshold)
+    )(p1, p2, valid, keys)

@@ -53,6 +53,18 @@ def _bucket(n: int, step: int = 512) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+def _pad_image_bucket(gray: np.ndarray, step: int = 128):
+    """Edge-pad to the next (step × step) shape bucket so sift/surf extraction
+    compiles once per bucket instead of once per exact image shape (real
+    datasets mix sizes; every distinct (H, W) otherwise recompiles the whole
+    octave pyramid). Returns (padded, H_orig, W_orig)."""
+    H, W = gray.shape
+    Hp, Wp = -(-H // step) * step, -(-W // step) * step
+    if (Hp, Wp) == (H, W):
+        return gray, H, W
+    return np.pad(gray, ((0, Hp - H), (0, Wp - W)), mode="edge"), H, W
+
+
 def extract_view_features(view: View, config: ReconstructionConfig) -> ViewFeatures:
     """SIFT on one view, with MVE-style halving until ≤ max_image_pixels
     (reference: bundler_features.cc:66-68) and positions mapped back to the
@@ -62,10 +74,15 @@ def extract_view_features(view: View, config: ReconstructionConfig) -> ViewFeatu
     while gray.shape[0] * gray.shape[1] > config.matching.max_image_pixels:
         gray = np.asarray(sift.half_size_gaussian(jnp.asarray(gray)))
         halvings += 1
+    gray, h_orig, w_orig = _pad_image_bucket(gray)
+
+    def in_bounds(xy):
+        return (xy[:, 0] < w_orig - 0.5) & (xy[:, 1] < h_orig - 0.5)
 
     feats = sift.extract(jnp.asarray(gray),
                          min_octave=config.matching.sift_min_octave)
     v = np.asarray(feats.valid)
+    v &= np.asarray(in_bounds(np.asarray(feats.xy)))
     xy_s = np.asarray(feats.xy)[v]
     scale_s = np.asarray(feats.scale)[v] * (2.0**halvings)
     sift_desc = np.asarray(feats.desc)[v]
@@ -75,6 +92,7 @@ def extract_view_features(view: View, config: ReconstructionConfig) -> ViewFeatu
 
         sfeats = surf_mod.extract(jnp.asarray(gray))
         sv = np.asarray(sfeats.valid)
+        sv &= np.asarray(in_bounds(np.asarray(sfeats.xy)))
         xy_u = np.asarray(sfeats.xy)[sv]
         scale_u = np.asarray(sfeats.scale)[sv] * (2.0**halvings)
         surf_desc = np.asarray(sfeats.desc)[sv]
@@ -217,7 +235,8 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
     else:
         m_surf = np.zeros((len(pairs), 0), np.int64)
 
-    results = []
+    # --- Combine per-type match lists and apply the match-count gate
+    candidates = []  # (i, j, idx_i, idx_j)
     for pi, (i, j) in enumerate(pairs):
         fi, fj = features[i], features[j]
         # Combine the per-type match lists with index offsets
@@ -238,14 +257,19 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
                 print(f"Pair ({i},{j}) rejected, {n_match} matches below "
                       f"threshold {max(8, m.min_feature_matches)}.")
             continue
-
         idx_i = np.flatnonzero(m12 >= 0)
-        idx_j = m12[idx_i]
-        key, k = jax.random.split(key)
-        if m.pair_verification == "homography":
-            # CudaSift-style verification on pixel coordinates
-            from orthosfm_tpu.ops import ransac_h
+        candidates.append((i, j, idx_i, m12[idx_i]))
 
+    # --- Geometric verification
+    results = []
+    if m.pair_verification == "homography":
+        # CudaSift-style verification on pixel coordinates (alternate engine,
+        # per pair — the default fundamental path below is pair-batched)
+        from orthosfm_tpu.ops import ransac_h
+
+        for (i, j, idx_i, idx_j) in candidates:
+            fi, fj = features[i], features[j]
+            key, k = jax.random.split(key)
             p1 = jnp.asarray(_padded(fi.xy[idx_i], _bucket(len(idx_i), 256)))
             p2 = jnp.asarray(_padded(fj.xy[idx_j], p1.shape[0]))
             valid = jnp.arange(p1.shape[0]) < len(idx_i)
@@ -253,25 +277,52 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
                 p1, p2, valid, k, iterations=m.homography_iterations,
                 threshold_px=m.homography_threshold_px,
                 find_threshold_px=m.homography_find_threshold_px)
-            min_required = m.homography_min_inliers
-        else:
-            p1 = jnp.asarray(_padded(fi.norm_xy[idx_i], _bucket(len(idx_i), 256)))
-            p2 = jnp.asarray(_padded(fj.norm_xy[idx_j], p1.shape[0]))
-            valid = jnp.arange(p1.shape[0]) < len(idx_i)
-            res = ransac_f.ransac_fundamental(
-                p1, p2, valid, k, iterations=m.ransac_f_iterations,
-                threshold=m.ransac_f_threshold)
-            min_required = max(m.min_pair_inliers_to_accept, m.min_matching_inliers)
-        n_inl = int(res.num_inliers)
-        if n_inl < min_required:
+            n_inl = int(res.num_inliers)
+            if n_inl < m.homography_min_inliers:
+                if verbose:
+                    print(f"Pair ({i},{j}) rejected, {n_inl} inliers below "
+                          f"threshold {m.homography_min_inliers}.")
+                continue
+            inl = np.asarray(res.inliers)[: len(idx_i)]
+            results.append((i, j, idx_i[inl], idx_j[inl]))
             if verbose:
-                print(f"Pair ({i},{j}) rejected, {n_inl} inliers below "
-                      f"threshold {min_required}.")
-            continue
-        inl = np.asarray(res.inliers)[: len(idx_i)]
-        results.append((i, j, idx_i[inl], idx_j[inl]))
-        if verbose:
-            print(f"Pair ({i},{j}) matched, {n_inl} inliers.")
+                print(f"Pair ({i},{j}) matched, {n_inl} inliers.")
+    elif candidates:
+        # Pair-batched RANSAC-F: all candidate pairs verify in chunks of one
+        # compiled program each (vs MVE's per-pair 1000-iteration loops)
+        min_required = max(m.min_pair_inliers_to_accept, m.min_matching_inliers)
+        M = _bucket(max(len(c[2]) for c in candidates), 256)
+        P = len(candidates)
+        p1 = np.zeros((P, M, 2), np.float32)
+        p2 = np.zeros((P, M, 2), np.float32)
+        valid = np.zeros((P, M), bool)
+        for pi, (i, j, idx_i, idx_j) in enumerate(candidates):
+            p1[pi, :len(idx_i)] = features[i].norm_xy[idx_i]
+            p2[pi, :len(idx_i)] = features[j].norm_xy[idx_j]
+            valid[pi, :len(idx_i)] = True
+        # Chunk so the (chunk, iterations, M) Sampson blocks stay ≲0.5 GB
+        chunk = max(1, (1 << 27) // max(m.ransac_f_iterations * M, 1))
+        key, k = jax.random.split(key)
+        for s in range(0, P, chunk):
+            res = ransac_f.ransac_fundamental_batched(
+                jnp.asarray(p1[s:s + chunk]), jnp.asarray(p2[s:s + chunk]),
+                jnp.asarray(valid[s:s + chunk]), jax.random.fold_in(k, s),
+                iterations=m.ransac_f_iterations,
+                threshold=m.ransac_f_threshold)
+            num_inl = np.asarray(res.num_inliers)
+            inliers = np.asarray(res.inliers)
+            for ci in range(len(num_inl)):
+                i, j, idx_i, idx_j = candidates[s + ci]
+                n_inl = int(num_inl[ci])
+                if n_inl < min_required:
+                    if verbose:
+                        print(f"Pair ({i},{j}) rejected, {n_inl} inliers below "
+                              f"threshold {min_required}.")
+                    continue
+                inl = inliers[ci][: len(idx_i)]
+                results.append((i, j, idx_i[inl], idx_j[inl]))
+                if verbose:
+                    print(f"Pair ({i},{j}) matched, {n_inl} inliers.")
     if verbose:
         print(f"Found a total of {len(results)} matching image pairs.")
     return results

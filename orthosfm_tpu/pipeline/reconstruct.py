@@ -39,14 +39,16 @@ def reconstruct(config: ReconstructionConfig, verbose: bool = True
         if verbose:
             print(f"Loading tracks from {config.track_file}")
         tracks = tracks_io.load_tracks(config.track_file, view_ids)
-        track_utils.print_track_overview(tracks)
+        if verbose:
+            track_utils.print_track_overview(tracks)
     else:
         from orthosfm_tpu.pipeline import matching as matching_mod
 
-        tracks = matching_mod.build_tracks(views, config)
+        tracks = matching_mod.build_tracks(views, config, verbose=verbose)
         tracks = track_utils.filter_tracks_with_masks(tracks, views)
         tracks = track_utils.propagate_colors(tracks, views)
-        track_utils.print_track_overview(tracks)
+        if verbose:
+            track_utils.print_track_overview(tracks)
         if config.project_folder:
             tracks_io.save_tracks(tracks, os.path.join(config.project_folder, "tracks.txt"))
     end_track = time.monotonic()

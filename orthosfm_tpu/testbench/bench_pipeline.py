@@ -60,6 +60,12 @@ def run_benchmark(num_views: int = 16, width: int = 512, seed: int = 7,
     reports the throughput ratio."""
     import jax
 
+    # Persistent compile cache: the matching stage compiles one program per
+    # (octave shape × detector) and first-compiles dominate wall clock on the
+    # remote-compile TPU tunnel otherwise.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from orthosfm_tpu.config import SolverType
     from orthosfm_tpu.testbench import render
 
