@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "3=EulerAllDof")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu) instead of the default")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard pose estimation over this many devices "
+                        "(tracks + RANSAC hypotheses partition over a mesh; "
+                        "requires that many JAX devices)")
     return p
 
 
@@ -71,8 +75,13 @@ def main(argv=None) -> int:
         solver=SolverType(args.solver),
         export_pairwise_tracks=args.export_pairwise_tracks,
     )
+    mesh = None
+    if args.devices > 1:
+        from orthosfm_tpu.parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh(args.devices)
     print(f"Using solver: {config.solver.describe()}")
-    reconstruct(config)
+    reconstruct(config, mesh=mesh)
     return 0
 
 

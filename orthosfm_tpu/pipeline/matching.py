@@ -81,8 +81,7 @@ def extract_view_features(view: View, config: ReconstructionConfig) -> ViewFeatu
 
     feats = sift.extract(jnp.asarray(gray),
                          min_octave=config.matching.sift_min_octave)
-    v = np.asarray(feats.valid)
-    v &= np.asarray(in_bounds(np.asarray(feats.xy)))
+    v = np.asarray(feats.valid) & np.asarray(in_bounds(np.asarray(feats.xy)))
     xy_s = np.asarray(feats.xy)[v]
     scale_s = np.asarray(feats.scale)[v] * (2.0**halvings)
     sift_desc = np.asarray(feats.desc)[v]
@@ -91,8 +90,8 @@ def extract_view_features(view: View, config: ReconstructionConfig) -> ViewFeatu
         from orthosfm_tpu.ops import surf as surf_mod
 
         sfeats = surf_mod.extract(jnp.asarray(gray))
-        sv = np.asarray(sfeats.valid)
-        sv &= np.asarray(in_bounds(np.asarray(sfeats.xy)))
+        sv = (np.asarray(sfeats.valid)
+              & np.asarray(in_bounds(np.asarray(sfeats.xy))))
         xy_u = np.asarray(sfeats.xy)[sv]
         scale_u = np.asarray(sfeats.scale)[sv] * (2.0**halvings)
         surf_desc = np.asarray(sfeats.desc)[sv]

@@ -22,8 +22,11 @@ from orthosfm_tpu.io import cameras_io, ply, timing, tracks_io
 from orthosfm_tpu.pipeline import incremental, track_utils
 
 
-def reconstruct(config: ReconstructionConfig, verbose: bool = True
+def reconstruct(config: ReconstructionConfig, verbose: bool = True, mesh=None
                 ) -> Tuple[incremental.PoseEstimationResult, List[View]]:
+    """Full reconstruction. ``mesh``: optional jax.sharding.Mesh — with more
+    than one device, pose estimation runs through the sharded solvers (see
+    incremental.run_pose_estimation)."""
     start_all = time.monotonic()
 
     # --- Initialization: load views (+ masks) ---------------------------------
@@ -61,7 +64,7 @@ def reconstruct(config: ReconstructionConfig, verbose: bool = True
     heights = np.asarray([v.height for v in views], np.float32)
     start_pose = time.monotonic()
     result = incremental.run_pose_estimation(tracks, widths, heights, config,
-                                             verbose=verbose)
+                                             verbose=verbose, mesh=mesh)
     end_pose = time.monotonic()
 
     # --- Export ---------------------------------------------------------------
