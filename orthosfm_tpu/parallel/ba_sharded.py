@@ -35,7 +35,11 @@ def make_sharded_ba(mesh, optimize_points: bool = True,
 
     Returns run(cams, points4, obs, mask) -> BAResult with identical semantics
     to solvers.ba.run. Track-dimension inputs must be divisible by the mesh
-    size (use pad_tracks)."""
+    size (use pad_tracks). On TPU meshes each device runs the fused Pallas
+    LM kernels on its track shard (when config.use_pallas); elsewhere the
+    pure-XLA path."""
+    platform = mesh.devices.flat[0].platform
+    impl = "pallas" if (config.use_pallas and platform in ("tpu", "axon")) else "xla"
 
     psum = functools.partial(jax.lax.psum, axis_name=TRACK_AXIS)
     replicated = P()
@@ -61,10 +65,22 @@ def make_sharded_ba(mesh, optimize_points: bool = True,
         # the LM control flow is replicated, partial reductions psum over ICI.
         obsT = jnp.transpose(obs, (1, 2, 0))
         maskT = mask_.T
+        pT = p0.T
+        T_local = obsT.shape[2]
+        if impl == "pallas":
+            from orthosfm_tpu.solvers import ba_pallas
+
+            T_pad = -(-T_local // ba_pallas.TILE) * ba_pallas.TILE
+            if T_pad != T_local:
+                pad = T_pad - T_local
+                obsT = jnp.pad(obsT, ((0, 0), (0, 0), (0, pad)))
+                maskT = jnp.pad(maskT, ((0, 0), (0, pad)))
+                pT = jnp.concatenate(
+                    [pT, jnp.broadcast_to(safe[:, None], (4, pad))], axis=1)
         cams_f, p_f, cost_f, init_cost, iters = ba._lm_loop(
-            cams, p0.T, obsT, maskT, free_c, optimize_points, config,
-            reduce_fn=psum, cost_reduce_fn=psum)
-        return cams_f, p_f.T, cost_f, init_cost, iters
+            cams, pT, obsT, maskT, free_c, optimize_points, config,
+            reduce_fn=psum, cost_reduce_fn=psum, impl=impl)
+        return cams_f, p_f[:, :T_local].T, cost_f, init_cost, iters
 
     @jax.jit
     def run(cams, points4, obs, mask):

@@ -482,6 +482,11 @@ def _lm_loop(cams, pT, obsT, maskT, free_c, optimize_points, config,
             cams_.kind, p_, obsT, maskF, R, dSt, camp, freeF, lam,
             config.huber_delta, optimize_points,
             interpret=ba_pallas.INTERPRET)
+        if reduce_fn is not None:
+            # Sharded: S/diag/rhs are per-track-shard partial sums
+            S_p = reduce_fn(S_p)
+            dU = reduce_fn(dU)
+            rhs = reduce_fn(rhs)
         delta_c = _solve_camera_system(S_p, dU, rhs, free_c, lam)
         cams_new = cam_mod.retract(cams_, delta_c.astype(dtype))
         R2, _, camp2 = _camera_tensors(cams_new)
@@ -489,7 +494,7 @@ def _lm_loop(cams, pT, obsT, maskT, free_c, optimize_points, config,
             cams_.kind, p_, obsT, maskF, R, dSt, camp, freeF, lam,
             delta_c.astype(dtype), R2, camp2, config.huber_delta,
             optimize_points, interpret=ba_pallas.INTERPRET)
-        return cams_new, p_new, new_cost
+        return cams_new, p_new, cost_red(new_cost)
 
     step = step_pallas if impl == "pallas" else step_xla
 

@@ -41,9 +41,9 @@ def _run_once(images: str, gt, solver):
         m = timing.load_runtimes(os.path.join(proj, "time_measurements.txt"))
         ang, pos = metrics.pose_errors(res.cameras, gt)
         return {
-            "initialization_s": round(m.initialization, 3),
-            "track_building_s": round(m.track_building, 3),
-            "pose_estimation_s": round(m.pose_estimation, 3),
+            "initialization_s": round(m.init_time, 3),
+            "track_building_s": round(m.track_building_time, 3),
+            "pose_estimation_s": round(m.pose_estimation_time, 3),
             "total_s": round(total, 3),
             "frames_per_s": round(len(views) / total, 3),
             "mean_angular_error_deg": round(float(np.mean(ang)), 4),

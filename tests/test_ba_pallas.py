@@ -171,6 +171,20 @@ for kind in ("quat", "euler"):
     assert float(rp.cost) < float(rp.initial_cost) * 1e-2, kind
     assert float(rx.cost) < float(rx.initial_cost) * 1e-2, kind
 
+# Pallas kernels inside shard_map: a 1-device TPU mesh exercises the
+# composition (psum of the kernel outputs) that multi-chip pods run
+from orthosfm_tpu.parallel import ba_sharded, mesh as mesh_mod
+
+cams, points, obs, mask = _problem("quat", num_views=8, n_points=1024)
+mesh = mesh_mod.make_mesh(1)
+run_sh = ba_sharded.make_sharded_ba(mesh, config=cfg_p)
+(points_p, obs_p, mask_p), T = ba_sharded.pad_tracks([points, obs, mask], 1)
+rs = run_sh(cams, points_p, obs_p, mask_p)
+rp = ba.run(cams, points, obs, mask, optimize_points=True, config=cfg_p)
+np.testing.assert_allclose(float(rs.initial_cost), float(rp.initial_cost),
+                           rtol=1e-4)
+assert float(rs.cost) < float(rs.initial_cost) * 1e-2
+
 rng = np.random.default_rng(0)
 d1 = rng.normal(size=(512, 128)).astype(np.float32)
 d2 = rng.normal(size=(640, 128)).astype(np.float32)
