@@ -419,8 +419,7 @@ def _chunk(arrs, size):
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnames=("has_sigma", "cap"))
-def extract_octave(base, has_sigma: float, cap: int):
+def _extract_octave_body(base, has_sigma: float, cap: int):
     """Full per-octave feature extraction. base: (H, W) float image.
 
     Returns OctaveFeatures with capacity cap * MAX_ORIENTATIONS.
@@ -450,6 +449,18 @@ def extract_octave(base, has_sigma: float, cap: int):
     dvalid = dvalid.reshape(-1)[: K * M]
     return OctaveFeatures(x=fx, y=fy, sample=fs, orientation=fo,
                           desc=desc, valid=fv & dvalid)
+
+
+extract_octave = functools.partial(jax.jit, static_argnames=("has_sigma", "cap"))(
+    _extract_octave_body)
+
+
+@functools.partial(jax.jit, static_argnames=("has_sigma", "cap"))
+def extract_octave_batch(bases, has_sigma: float, cap: int):
+    """vmapped per-octave extraction over a (V, H, W) view stack — one
+    compiled program detects/describes every view's octave at once (the
+    per-view host loop costs one full dispatch chain per view otherwise)."""
+    return jax.vmap(lambda b: _extract_octave_body(b, has_sigma, cap))(bases)
 
 
 def double_size_supersample(img):
@@ -506,4 +517,45 @@ def extract(image_gray, per_octave_cap: int = 2048, max_octave: int = MAX_OCTAVE
         orientation=jnp.concatenate([f.orientation for f in all_feats]),
         desc=jnp.concatenate([f.desc for f in all_feats]),
         valid=jnp.concatenate([f.valid for f in all_feats]),
+    )
+
+
+def extract_batch(images, per_octave_cap: int = 2048,
+                  max_octave: int = MAX_OCTAVE, min_octave: int = 0):
+    """Batched multi-octave SIFT over a (V, H, W) stack of same-shape images.
+
+    Identical per-view semantics to extract(); all returned Features fields
+    carry a leading V axis. One compiled program per octave serves every
+    view — the TPU-first replacement for MVE's per-view omp loop
+    (bundler_features.cc:40)."""
+    assert min_octave >= -1, "octaves below -1 are not defined"
+    all_feats = []
+    img = images
+    has_sigma = INHERENT_BLUR
+    for o in range(min_octave, max_octave + 1):
+        if o == -1:
+            img = jax.vmap(double_size_supersample)(images)
+            has_sigma = INHERENT_BLUR * 2.0
+        elif o == 0:
+            img = images
+            has_sigma = INHERENT_BLUR
+        h, w = img.shape[1:]
+        if min(h, w) < 16:
+            break
+        of = extract_octave_batch(img, has_sigma, per_octave_cap)
+        sf = 2.0**o
+        xy = jnp.stack([sf * (of.x + 0.5) - 0.5, sf * (of.y + 0.5) - 0.5], -1)
+        scale = BASE_BLUR * 2.0 ** (o + (of.sample + 1.0) / SAMPLES)
+        all_feats.append(Features(xy=xy, scale=scale,
+                                  orientation=of.orientation,
+                                  desc=of.desc, valid=of.valid))
+        if o >= 0:
+            img = jax.vmap(half_size_gaussian)(img)
+            has_sigma = BASE_BLUR
+    return Features(
+        xy=jnp.concatenate([f.xy for f in all_feats], axis=1),
+        scale=jnp.concatenate([f.scale for f in all_feats], axis=1),
+        orientation=jnp.concatenate([f.orientation for f in all_feats], axis=1),
+        desc=jnp.concatenate([f.desc for f in all_feats], axis=1),
+        valid=jnp.concatenate([f.valid for f in all_feats], axis=1),
     )

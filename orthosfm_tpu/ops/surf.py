@@ -284,8 +284,7 @@ def _descriptor(S, kx, ky, scale, ori, ok):
     return d, ok & in_bounds & nonzero
 
 
-@functools.partial(jax.jit, static_argnames=("per_octave_cap",))
-def extract(gray01, per_octave_cap: int = 1024) -> SurfFeatures:
+def _extract_body(gray01, per_octave_cap: int = 1024) -> SurfFeatures:
     """Full SURF extraction on a grayscale [0,1] image."""
     S = integral_image(gray01)
     all_x, all_y, all_scale, all_valid = [], [], [], []
@@ -312,3 +311,14 @@ def extract(gray01, per_octave_cap: int = 1024) -> SurfFeatures:
         kx, ky, scale, ori, valid)
     return SurfFeatures(xy=jnp.stack([kx, ky], -1), scale=scale,
                         orientation=ori, desc=desc, valid=valid)
+
+
+extract = functools.partial(jax.jit, static_argnames=("per_octave_cap",))(
+    _extract_body)
+
+
+@functools.partial(jax.jit, static_argnames=("per_octave_cap",))
+def extract_batch(grays, per_octave_cap: int = 1024) -> SurfFeatures:
+    """Batched SURF over a (V, H, W) same-shape stack; fields carry a
+    leading V axis (see sift.extract_batch for the rationale)."""
+    return jax.vmap(lambda g: _extract_body(g, per_octave_cap))(grays)

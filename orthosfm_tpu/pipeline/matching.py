@@ -65,36 +65,38 @@ def _pad_image_bucket(gray: np.ndarray, step: int = 128):
     return np.pad(gray, ((0, Hp - H), (0, Wp - W)), mode="edge"), H, W
 
 
-def extract_view_features(view: View, config: ReconstructionConfig) -> ViewFeatures:
-    """SIFT on one view, with MVE-style halving until ≤ max_image_pixels
-    (reference: bundler_features.cc:66-68) and positions mapped back to the
-    view's pixel space."""
+def _prepare_gray(view: View, config: ReconstructionConfig):
+    """Grayscale + MVE-style halving until ≤ max_image_pixels
+    (reference: bundler_features.cc:66-68) + shape-bucket padding."""
     gray = np.asarray(sift.grayscale(jnp.asarray(view.pixels)))
     halvings = 0
     while gray.shape[0] * gray.shape[1] > config.matching.max_image_pixels:
         gray = np.asarray(sift.half_size_gaussian(jnp.asarray(gray)))
         halvings += 1
     gray, h_orig, w_orig = _pad_image_bucket(gray)
+    return gray, halvings, h_orig, w_orig
+
+
+def _assemble_features(view: View, config: ReconstructionConfig,
+                       sift_np, surf_np, halvings, h_orig, w_orig
+                       ) -> ViewFeatures:
+    """Filter/sort/scale one view's raw detector outputs into ViewFeatures.
+    sift_np/surf_np: dict-like (xy, scale, desc, valid) numpy fields for this
+    view; surf_np may be None."""
 
     def in_bounds(xy):
         return (xy[:, 0] < w_orig - 0.5) & (xy[:, 1] < h_orig - 0.5)
 
-    feats = sift.extract(jnp.asarray(gray),
-                         min_octave=config.matching.sift_min_octave)
-    v = np.asarray(feats.valid) & np.asarray(in_bounds(np.asarray(feats.xy)))
-    xy_s = np.asarray(feats.xy)[v]
-    scale_s = np.asarray(feats.scale)[v] * (2.0**halvings)
-    sift_desc = np.asarray(feats.desc)[v]
+    v = sift_np["valid"] & in_bounds(sift_np["xy"])
+    xy_s = sift_np["xy"][v]
+    scale_s = sift_np["scale"][v] * (2.0**halvings)
+    sift_desc = sift_np["desc"][v]
 
-    if config.matching.use_surf:
-        from orthosfm_tpu.ops import surf as surf_mod
-
-        sfeats = surf_mod.extract(jnp.asarray(gray))
-        sv = (np.asarray(sfeats.valid)
-              & np.asarray(in_bounds(np.asarray(sfeats.xy))))
-        xy_u = np.asarray(sfeats.xy)[sv]
-        scale_u = np.asarray(sfeats.scale)[sv] * (2.0**halvings)
-        surf_desc = np.asarray(sfeats.desc)[sv]
+    if surf_np is not None:
+        sv = surf_np["valid"] & in_bounds(surf_np["xy"])
+        xy_u = surf_np["xy"][sv]
+        scale_u = surf_np["scale"][sv] * (2.0**halvings)
+        surf_desc = surf_np["desc"][sv]
     else:
         xy_u = np.zeros((0, 2), np.float32)
         scale_u = np.zeros((0,), np.float32)
@@ -120,6 +122,59 @@ def extract_view_features(view: View, config: ReconstructionConfig) -> ViewFeatu
                         (xy[:, 1] + 0.5 - h / 2.0) / maxdim], -1)
     return ViewFeatures(xy=xy, norm_xy=norm_xy, scale=scale,
                         sift_desc=sift_desc, surf_desc=surf_desc)
+
+
+def extract_view_features(view: View, config: ReconstructionConfig) -> ViewFeatures:
+    """Single-view extraction (the batched path below is the pipeline's)."""
+    gray, halvings, h_orig, w_orig = _prepare_gray(view, config)
+    feats = sift.extract(jnp.asarray(gray),
+                         min_octave=config.matching.sift_min_octave)
+    sift_np = {k: np.asarray(getattr(feats, k))
+               for k in ("xy", "scale", "desc", "valid")}
+    surf_np = None
+    if config.matching.use_surf:
+        from orthosfm_tpu.ops import surf as surf_mod
+
+        sfeats = surf_mod.extract(jnp.asarray(gray))
+        surf_np = {k: np.asarray(getattr(sfeats, k))
+                   for k in ("xy", "scale", "desc", "valid")}
+    return _assemble_features(view, config, sift_np, surf_np, halvings,
+                              h_orig, w_orig)
+
+
+def extract_all_view_features(views: List[View],
+                              config: ReconstructionConfig) -> List[ViewFeatures]:
+    """Batched extraction: views group by (bucketed shape, halvings) and each
+    group's SIFT/SURF runs as ONE vmapped device program over the view stack —
+    the TPU-first replacement for MVE's per-view omp loop
+    (bundler_features.cc:40). Per-view semantics identical to
+    extract_view_features."""
+    prepared = [_prepare_gray(v, config) for v in views]
+    groups = {}
+    for i, (gray, halvings, ho, wo) in enumerate(prepared):
+        groups.setdefault((gray.shape, halvings), []).append(i)
+
+    out: List[ViewFeatures] = [None] * len(views)  # type: ignore[list-item]
+    for (_, halvings), idxs in groups.items():
+        stack = jnp.asarray(np.stack([prepared[i][0] for i in idxs]))
+        fs = sift.extract_batch(stack,
+                                min_octave=config.matching.sift_min_octave)
+        fs_np = {k: np.asarray(getattr(fs, k))
+                 for k in ("xy", "scale", "desc", "valid")}
+        fu_np = None
+        if config.matching.use_surf:
+            from orthosfm_tpu.ops import surf as surf_mod
+
+            fu = surf_mod.extract_batch(stack)
+            fu_np = {k: np.asarray(getattr(fu, k))
+                     for k in ("xy", "scale", "desc", "valid")}
+        for bi, i in enumerate(idxs):
+            s_i = {k: a[bi] for k, a in fs_np.items()}
+            u_i = ({k: a[bi] for k, a in fu_np.items()}
+                   if fu_np is not None else None)
+            out[i] = _assemble_features(views[i], config, s_i, u_i, halvings,
+                                        prepared[i][2], prepared[i][3])
+    return out
 
 
 def _padded(arr, n, fill=0.0):
@@ -330,7 +385,7 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
 def build_tracks(views: List[View], config: ReconstructionConfig,
                  verbose: bool = True) -> tracks_mod.TrackSet:
     """Full matching stage: SIFT → pairwise matching → union-find tracks."""
-    features = [extract_view_features(v, config) for v in views]
+    features = extract_all_view_features(views, config)
     if verbose:
         for v, f in zip(views, features):
             print(f"{v.display_name} {f.count} features "

@@ -150,3 +150,29 @@ def test_double_size_supersample_values():
     np.testing.assert_allclose(up[1, 0], 1.5)   # (0+3)/2
     np.testing.assert_allclose(up[1, 1], 2.0)   # (0+1+3+4)/4
     np.testing.assert_allclose(up[3, 5], 5.0)   # clamped corner
+
+
+def test_batched_extraction_matches_single():
+    """extract_all_view_features (one vmapped program per shape group) must
+    produce exactly the same per-view features as the per-view path."""
+    from orthosfm_tpu.config import ReconstructionConfig
+    from orthosfm_tpu.data.views import View
+    from orthosfm_tpu.pipeline import matching as pm
+
+    cfg = ReconstructionConfig()
+    views = []
+    for seed in range(3):
+        centers, amps, sigmas = _scene(seed=seed)
+        img = (_blob_image(centers, amps, sigmas) * 255).astype(np.uint8)
+        v = View(view_id=seed, image_path=f"mem_{seed}.png",
+                 width=img.shape[1], height=img.shape[0],
+                 pixels=np.stack([img] * 3, -1))
+        views.append(v)
+
+    batched = pm.extract_all_view_features(views, cfg)
+    for v, fb in zip(views, batched):
+        fs = pm.extract_view_features(v, cfg)
+        np.testing.assert_array_equal(fb.xy, fs.xy)
+        np.testing.assert_array_equal(fb.sift_desc, fs.sift_desc)
+        np.testing.assert_array_equal(fb.surf_desc, fs.surf_desc)
+        np.testing.assert_array_equal(fb.scale, fs.scale)
