@@ -47,10 +47,10 @@ def main(argv=None) -> int:
 
         from orthosfm_tpu.testbench import synthetic_tests
 
-        results = synthetic_tests.run_noise_sweep(
-            noise_levels=np.linspace(0.0, args.max_noise, args.noise_samples))
         out_csv = os.path.join(args.project_folder, "synthetic_results.csv")
-        synthetic_tests.save_results(results, out_csv)
+        results = synthetic_tests.run_noise_sweep(
+            noise_levels=np.linspace(0.0, args.max_noise, args.noise_samples),
+            csv_path=out_csv)
         synthetic_tests.save_plot(
             results, os.path.join(args.project_folder, "synthetic_results.png"))
         print(f"Wrote {out_csv}")

@@ -44,10 +44,20 @@ def run_noise_sweep(
     seed: int = 0,
     max_tracks: int = 2048,
     verbose: bool = True,
+    csv_path: str = "",
 ) -> List[SweepEntry]:
     """The reference sweeps 101 noise samples from 0 to 100 px
-    (synthethic_tests.cpp:41-48). Smaller grids are useful for quick checks."""
+    (synthethic_tests.cpp:41-48). Smaller grids are useful for quick checks.
+
+    ``csv_path``: write each entry as soon as it is computed (a multi-hour
+    sweep must survive a crash near the end)."""
     results: List[SweepEntry] = []
+    csv_f = None
+    if csv_path:
+        csv_f = open(csv_path, "w")
+        csv_f.write("dataset,solver,noise_px,mean_angular_error_deg,"
+                    "std_angular_error_deg,mean_position_error,failed\n")
+        csv_f.flush()
     for ds_name in datasets:
         ds = synthetic.generate_dataset(ds_name, num_views=num_views, seed=seed)
         tracks = ds.tracks
@@ -82,10 +92,19 @@ def run_noise_sweep(
                                        float("nan"), float("nan"), float("nan"),
                                        failed=True)
                 results.append(entry)
+                if csv_f is not None:
+                    csv_f.write(
+                        f"{entry.dataset},{entry.solver},{entry.noise_px},"
+                        f"{entry.mean_angular_error_deg},"
+                        f"{entry.std_angular_error_deg},"
+                        f"{entry.mean_position_error},{int(entry.failed)}\n")
+                    csv_f.flush()
                 if verbose:
                     print(f"{ds_name} {solver.name} σ={sigma:6.2f}px → "
                           f"angular {entry.mean_angular_error_deg:.3f} ± "
                           f"{entry.std_angular_error_deg:.3f} deg")
+    if csv_f is not None:
+        csv_f.close()
     return results
 
 
