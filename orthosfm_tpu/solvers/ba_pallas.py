@@ -235,51 +235,54 @@ def _make_ne_kernel(kind, V, huber_delta, optimize_points):
         WVi = [[sum(Wc[a][p] * V_inv[p][q] for p in range(3))
                 for q in range(3)] for a in range(6)]
 
-        # U (camera block diagonals): 21 lane reductions + symmetry → (V, 36)
-        Uent = {}
-        for a in range(6):
-            for b in range(a, 6):
-                Uent[(a, b)] = jnp.sum(Jcw[0][a] * Jc[0][b] +
-                                       Jcw[1][a] * Jc[1][b],
-                                       axis=1, keepdims=True)  # (V, 1)
-        U_tile = jnp.concatenate(
-            [Uent[(a, b)] if a <= b else Uent[(b, a)]
-             for a in range(6) for b in range(6)], axis=1)  # (V, 36)
-
-        # Schur cross term Σ_q (W V̂⁻¹)_q W_qᵀ: 3 MXU matmuls in PARAM-MAJOR
-        # row order (row = a·V + v); the host un-permutes to block-major.
         dot_t = functools.partial(
             jax.lax.dot_general, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+        # Every Σ_t contraction runs on the MXU (lane reductions on the VPU
+        # were measured to dominate the iteration — see docs/SCALING.md).
+        # Rows are PARAM-MAJOR (row = a·V + v); the residual component axis k
+        # concatenates along lanes so one Gram sums over both.
+        sqw = jnp.sqrt(wgt)
+        Zc = jnp.concatenate(
+            [jnp.concatenate([Jc[k][a] * sqw for a in range(6)], axis=0)
+             for k in range(2)], axis=1)  # (6V, 2·TILE)
+        Zr = jnp.concatenate([r[0] * sqw, r[1] * sqw], axis=1)  # (V, 2·TILE)
+        # Gram: the per-view diagonal blocks are U; cross-view entries mix
+        # unrelated residuals and are discarded by the host wrapper.
+        U_tile = dot_t(Zc, Zc)  # (6V, 6V)
+        # g_full[a·V+v, u]: only the u == v diagonal is g_c (host extracts)
+        g_tile = dot_t(Zc, Zr)  # (6V, V)
+
+        g_p = [-jnp.sum(Jpw[0][q] * r[0] + Jpw[1][q] * r[1],
+                        axis=0, keepdims=True) for q in range(3)]  # (1, T)
+
+        # Schur cross term Σ_q (W V̂⁻¹)_q W_qᵀ and the reduced-RHS correction
+        # Σ_q (W V̂⁻¹)_q · g_p_q share the stacked WVi rows
+        WVi_rows = [jnp.concatenate([WVi[a][q] for a in range(6)], axis=0)
+                    for q in range(3)]  # each (6V, TILE)
         S_tile = sum(
-            dot_t(jnp.concatenate([WVi[a][q] for a in range(6)], axis=0),
+            dot_t(WVi_rows[q],
                   jnp.concatenate([Wc[a][q] for a in range(6)], axis=0))
             for q in range(3)
         )  # (6V, 6V)
-
-        # Gradients: g_c (V, 6) lane-reduced; g_p (3 rows of (1, TILE));
-        # rhs2 = Σ_q WVi_q · g_p_q lane-reduced → (V, 6)
-        g_c = jnp.concatenate(
-            [-jnp.sum(Jcw[0][a] * r[0] + Jcw[1][a] * r[1],
-                      axis=1, keepdims=True) for a in range(6)], axis=1)
-        g_p = [-jnp.sum(Jpw[0][q] * r[0] + Jpw[1][q] * r[1],
-                        axis=0, keepdims=True) for q in range(3)]  # (1, T)
-        rhs2 = jnp.concatenate(
-            [jnp.sum(sum(WVi[a][q] * g_p[q] for q in range(3)),
-                     axis=1, keepdims=True) for a in range(6)], axis=1)
-        g_tile = jnp.concatenate([g_c, rhs2], axis=1)  # (V, 12)
+        # Σ_q folded into the contraction (one matmul): Mosaic rejects a SUM
+        # of single-column matmuls ("only constant accumulators supported").
+        rhs2_tile = dot_t(jnp.concatenate(WVi_rows, axis=1),
+                          jnp.concatenate(g_p, axis=1))  # (6V, 1)
+        gr_tile = jnp.concatenate([g_tile, rhs2_tile], axis=1)  # (6V, V+1)
 
         @pl.when(i == 0)
         def _():
             S_ref[:] = S_tile
             U_ref[:] = U_tile
-            g_ref[:] = g_tile
+            g_ref[:] = gr_tile
 
         @pl.when(i > 0)
         def _():
             S_ref[:] = S_ref[:] + S_tile
             U_ref[:] = U_ref[:] + U_tile
-            g_ref[:] = g_ref[:] + g_tile
+            g_ref[:] = g_ref[:] + gr_tile
 
     return kernel
 
@@ -388,34 +391,40 @@ def normal_eq_schur(kind, pT, obsT, maskT, R, dSt, camp, free, lam,
     T = obsT.shape[2]
     n = V * 6
     grid = (T // TILE,)
-    S_pm, U_flat, g = pl.pallas_call(
+    S_pm, U_pm, g_pm = pl.pallas_call(
         _make_ne_kernel(kind, V, float(huber_delta), bool(optimize_points)),
         grid=grid,
         in_specs=_common_specs(V),
         out_specs=[
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, 36), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, V + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, n), jnp.float32),
-            jax.ShapeDtypeStruct((V, 36), jnp.float32),
-            jax.ShapeDtypeStruct((V, 12), jnp.float32),
+            jax.ShapeDtypeStruct((n, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, V + 1), jnp.float32),
         ],
         interpret=interpret,
     )(*_kernel_operands(pT, obsT, maskT, R, dSt, camp, free, lam))
 
     # Un-permute the Schur cross term from param-major (a·V+v) to block-major
-    # (v·6+a) and put U on the block diagonal — tiny 96×96 XLA work.
+    # (v·6+a), extract the per-view diagonal blocks of the camera Gram
+    # (cross-view Gram entries mix unrelated residuals) and the per-view
+    # gradient diagonal — tiny 96×96 XLA work.
     idx = jnp.arange(n)
     pm_of_bm = (idx % 6) * V + idx // 6
     S_red = S_pm[pm_of_bm][:, pm_of_bm]
-    U = U_flat.reshape(V, 6, 6)
+    U = jnp.transpose(
+        jnp.diagonal(U_pm.reshape(6, V, 6, V), axis1=1, axis2=3),
+        (2, 0, 1))  # (V, 6, 6)
+    g_c = -jnp.diagonal(g_pm[:, :V].reshape(6, V, V), axis1=1, axis2=2).T
+    rhs2 = g_pm[pm_of_bm, V]
     ar = jnp.arange(V)
     S = jnp.zeros((V, 6, V, 6), S_red.dtype).at[ar, :, ar, :].set(U)
     S = S.reshape(n, n) - S_red
     dU = jnp.einsum("vaa->va", U).reshape(n)
-    rhs = (g[:, :6] - g[:, 6:]).reshape(n)
+    rhs = g_c.reshape(n) - rhs2
     return S, dU, rhs
 
 
