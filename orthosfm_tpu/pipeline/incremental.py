@@ -165,12 +165,16 @@ def initial_alignment(tracks: tracks_mod.TrackSet, ids, widths, heights,
     reference hard-throws there (tomasi_kanade.cpp:202-205). Falling back to
     the unfiltered observations is safe for INITIALIZATION only, because the
     RANSAC around Tomasi-Kanade provides its own outlier robustness; BA and
-    triangulation keep using the filtered set."""
+    triangulation keep using the filtered set. With
+    config.strict_reference_behavior the fallback is disabled and the group
+    hard-fails exactly like the reference."""
     cols = _cols_for(tracks, ids)
     obs = tracks.obs[:, cols, :]
     valid = tracks_mod.full_size_mask(tracks, cols)
     n_valid = int(jnp.sum(valid))
     min_tracks = max(10, config.ransac.sample_size)
+    if config.strict_reference_behavior:
+        fallback_tracks = None
     if n_valid < min_tracks and fallback_tracks is not None:
         cols_fb = _cols_for(fallback_tracks, ids)
         valid_fb = tracks_mod.full_size_mask(fallback_tracks, cols_fb)

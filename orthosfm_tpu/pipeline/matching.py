@@ -32,13 +32,17 @@ class ViewFeatures:
     """Combined per-view features, ordered [SIFT..., SURF...] like MVE's
     FeatureSet (feature_set.cc). Descriptors stay per-type (128-d / 64-d) and
     are matched separately, then combined with index offsets
-    (mve/sfm/matching.cc combine_results)."""
+    (mve/sfm/matching.cc combine_results).
+
+    Coordinates/scales are host numpy (tiny, drive host-side gating);
+    descriptors are DEVICE arrays — they are produced on device, matched on
+    device, and never cross the host transfer tunnel."""
 
     xy: np.ndarray  # (N, 2) pixel coords in the view's (config-downscaled) image
     norm_xy: np.ndarray  # (N, 2) MVE-normalized coords
     scale: np.ndarray  # (N,)
-    sift_desc: np.ndarray  # (Ns, 128)
-    surf_desc: np.ndarray  # (Nu, 64)
+    sift_desc: jnp.ndarray  # (Ns, 128) device
+    surf_desc: jnp.ndarray  # (Nu, 64) device
 
     @property
     def count(self) -> int:
@@ -53,7 +57,7 @@ def _bucket(n: int, step: int = 512) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
-def _pad_image_bucket(gray: np.ndarray, step: int = 128):
+def _pad_image_bucket(gray, step: int = 128):
     """Edge-pad to the next (step × step) shape bucket so sift/surf extraction
     compiles once per bucket instead of once per exact image shape (real
     datasets mix sizes; every distinct (H, W) otherwise recompiles the whole
@@ -62,16 +66,18 @@ def _pad_image_bucket(gray: np.ndarray, step: int = 128):
     Hp, Wp = -(-H // step) * step, -(-W // step) * step
     if (Hp, Wp) == (H, W):
         return gray, H, W
-    return np.pad(gray, ((0, Hp - H), (0, Wp - W)), mode="edge"), H, W
+    return jnp.pad(gray, ((0, Hp - H), (0, Wp - W)), mode="edge"), H, W
 
 
 def _prepare_gray(view: View, config: ReconstructionConfig):
     """Grayscale + MVE-style halving until ≤ max_image_pixels
-    (reference: bundler_features.cc:66-68) + shape-bucket padding."""
-    gray = np.asarray(sift.grayscale(jnp.asarray(view.pixels)))
+    (reference: bundler_features.cc:66-68) + shape-bucket padding. The gray
+    image stays on device end-to-end (only the compact uint8 RGB crosses the
+    transfer tunnel)."""
+    gray = sift.grayscale(jnp.asarray(view.pixels))
     halvings = 0
     while gray.shape[0] * gray.shape[1] > config.matching.max_image_pixels:
-        gray = np.asarray(sift.half_size_gaussian(jnp.asarray(gray)))
+        gray = sift.half_size_gaussian(gray)
         halvings += 1
     gray, h_orig, w_orig = _pad_image_bucket(gray)
     return gray, halvings, h_orig, w_orig
@@ -81,34 +87,39 @@ def _assemble_features(view: View, config: ReconstructionConfig,
                        sift_np, surf_np, halvings, h_orig, w_orig
                        ) -> ViewFeatures:
     """Filter/sort/scale one view's raw detector outputs into ViewFeatures.
-    sift_np/surf_np: dict-like (xy, scale, desc, valid) numpy fields for this
-    view; surf_np may be None."""
+    sift_np/surf_np: dict-like (xy, scale, valid) numpy + device "desc"
+    fields for this view; surf_np may be None. Descriptor selection happens
+    as device row gathers (host only computes the index lists)."""
 
     def in_bounds(xy):
         return (xy[:, 0] < w_orig - 0.5) & (xy[:, 1] < h_orig - 0.5)
 
     v = sift_np["valid"] & in_bounds(sift_np["xy"])
-    xy_s = sift_np["xy"][v]
-    scale_s = sift_np["scale"][v] * (2.0**halvings)
-    sift_desc = sift_np["desc"][v]
+    rows_s = np.flatnonzero(v)
+    xy_s = sift_np["xy"][rows_s]
+    scale_s = sift_np["scale"][rows_s] * (2.0**halvings)
 
     if surf_np is not None:
         sv = surf_np["valid"] & in_bounds(surf_np["xy"])
-        xy_u = surf_np["xy"][sv]
-        scale_u = surf_np["scale"][sv] * (2.0**halvings)
-        surf_desc = surf_np["desc"][sv]
+        rows_u = np.flatnonzero(sv)
+        xy_u = surf_np["xy"][rows_u]
+        scale_u = surf_np["scale"][rows_u] * (2.0**halvings)
     else:
+        rows_u = np.zeros((0,), np.int64)
         xy_u = np.zeros((0, 2), np.float32)
         scale_u = np.zeros((0,), np.float32)
-        surf_desc = np.zeros((0, 64), np.float32)
 
     cap = config.matching.max_features_per_view
     if xy_s.shape[0] > cap:
         order = np.argsort(-scale_s)[:cap]
-        xy_s, scale_s, sift_desc = xy_s[order], scale_s[order], sift_desc[order]
+        xy_s, scale_s, rows_s = xy_s[order], scale_s[order], rows_s[order]
     if xy_u.shape[0] > cap:
         order = np.argsort(-scale_u)[:cap]
-        xy_u, scale_u, surf_desc = xy_u[order], scale_u[order], surf_desc[order]
+        xy_u, scale_u, rows_u = xy_u[order], scale_u[order], rows_u[order]
+
+    sift_desc = sift_np["desc"][jnp.asarray(rows_s, jnp.int32)]
+    surf_desc = (surf_np["desc"][jnp.asarray(rows_u, jnp.int32)]
+                 if surf_np is not None else jnp.zeros((0, 64), jnp.float32))
 
     xy = np.concatenate([xy_s, xy_u])
     scale = np.concatenate([scale_s, scale_u])
@@ -124,22 +135,17 @@ def _assemble_features(view: View, config: ReconstructionConfig,
                         sift_desc=sift_desc, surf_desc=surf_desc)
 
 
+def _features_host_dicts(feats):
+    """Split a (batched) Features/SurfFeatures into host metadata numpy
+    arrays + the device descriptor tensor."""
+    d = {k: np.asarray(getattr(feats, k)) for k in ("xy", "scale", "valid")}
+    d["desc"] = feats.desc  # device
+    return d
+
+
 def extract_view_features(view: View, config: ReconstructionConfig) -> ViewFeatures:
     """Single-view extraction (the batched path below is the pipeline's)."""
-    gray, halvings, h_orig, w_orig = _prepare_gray(view, config)
-    feats = sift.extract(jnp.asarray(gray),
-                         min_octave=config.matching.sift_min_octave)
-    sift_np = {k: np.asarray(getattr(feats, k))
-               for k in ("xy", "scale", "desc", "valid")}
-    surf_np = None
-    if config.matching.use_surf:
-        from orthosfm_tpu.ops import surf as surf_mod
-
-        sfeats = surf_mod.extract(jnp.asarray(gray))
-        surf_np = {k: np.asarray(getattr(sfeats, k))
-                   for k in ("xy", "scale", "desc", "valid")}
-    return _assemble_features(view, config, sift_np, surf_np, halvings,
-                              h_orig, w_orig)
+    return extract_all_view_features([view], config)[0]
 
 
 def extract_all_view_features(views: List[View],
@@ -147,8 +153,7 @@ def extract_all_view_features(views: List[View],
     """Batched extraction: views group by (bucketed shape, halvings) and each
     group's SIFT/SURF runs as ONE vmapped device program over the view stack —
     the TPU-first replacement for MVE's per-view omp loop
-    (bundler_features.cc:40). Per-view semantics identical to
-    extract_view_features."""
+    (bundler_features.cc:40)."""
     prepared = [_prepare_gray(v, config) for v in views]
     groups = {}
     for i, (gray, halvings, ho, wo) in enumerate(prepared):
@@ -156,18 +161,16 @@ def extract_all_view_features(views: List[View],
 
     out: List[ViewFeatures] = [None] * len(views)  # type: ignore[list-item]
     for (_, halvings), idxs in groups.items():
-        stack = jnp.asarray(np.stack([prepared[i][0] for i in idxs]))
+        stack = jnp.stack([prepared[i][0] for i in idxs])
         fs = sift.extract_batch(stack,
                                 min_octave=config.matching.sift_min_octave)
-        fs_np = {k: np.asarray(getattr(fs, k))
-                 for k in ("xy", "scale", "desc", "valid")}
+        fs_np = _features_host_dicts(fs)
         fu_np = None
         if config.matching.use_surf:
             from orthosfm_tpu.ops import surf as surf_mod
 
             fu = surf_mod.extract_batch(stack)
-            fu_np = {k: np.asarray(getattr(fu, k))
-                     for k in ("xy", "scale", "desc", "valid")}
+            fu_np = _features_host_dicts(fu)
         for bi, i in enumerate(idxs):
             s_i = {k: a[bi] for k, a in fs_np.items()}
             u_i = ({k: a[bi] for k, a in fu_np.items()}
@@ -184,33 +187,31 @@ def _padded(arr, n, fill=0.0):
 
 
 def _stack_descriptors(descs, cap):
-    """(V, cap, D) stacked+padded descriptor tensor and (V,) counts."""
-    V = len(descs)
-    D = descs[0].shape[1]
-    out = np.zeros((V, cap, D), np.float32)
-    counts = np.zeros(V, np.int32)
-    for v, d in enumerate(descs):
-        n = min(d.shape[0], cap)
-        out[v, :n] = d[:n]
-        counts[v] = n
-    return out, counts
+    """(V, cap, D) stacked+padded DEVICE descriptor tensor and (V,) host
+    counts. Per-view descriptors are already on device; padding/stacking are
+    device ops (no tunnel traffic)."""
+    counts = np.array([min(d.shape[0], cap) for d in descs], np.int32)
+    padded = [jnp.pad(d[:cap], ((0, cap - min(d.shape[0], cap)), (0, 0)))
+              for d in descs]
+    return jnp.stack(padded), counts
 
 
 def _batched_pair_matches(stack, counts, pairs, ratio, pair_valid_n=None):
     """Run match_pairs_batched over `pairs` in MXU-friendly chunks.
 
-    stack: (V, N, D) np; counts: (V,); pairs: list of (i, j).
+    stack: (V, N, D) device; counts: (V,) host; pairs: list of (i, j).
     pair_valid_n: optional (P, 2) per-pair valid-count override (lowres gate).
-    Returns (P, N) int matches array (np)."""
+    Returns (P, N) int matches array (np — the downstream gates are host
+    logic; one small pull per chunk)."""
     P = len(pairs)
     N = stack.shape[1]
     if P == 0:
         return np.zeros((0, N), np.int64)
     # Cap batch so the (B, N, N) similarity block stays ≲1 GB
     B = max(1, min(P, (1 << 28) // max(N * N, 1)))
-    stack_d = jnp.asarray(stack)
     iota = np.arange(N)
     out = np.zeros((P, N), np.int64)
+    results = []
     for s in range(0, P, B):
         chunk = pairs[s:s + B]
         bi = np.array([p[0] for p in chunk])
@@ -219,10 +220,11 @@ def _batched_pair_matches(stack, counts, pairs, ratio, pair_valid_n=None):
         cj = counts[bj] if pair_valid_n is None else pair_valid_n[s:s + B, 1]
         v1 = jnp.asarray(iota[None, :] < ci[:, None])
         v2 = jnp.asarray(iota[None, :] < cj[:, None])
-        m12 = match_ops.match_pairs_batched(
-            stack_d[jnp.asarray(bi)], v1, stack_d[jnp.asarray(bj)], v2,
-            lowe_ratio=float(ratio))
-        out[s:s + B] = np.asarray(m12)
+        results.append(match_ops.match_pairs_batched(
+            stack[jnp.asarray(bi)], v1, stack[jnp.asarray(bj)], v2,
+            lowe_ratio=float(ratio)))
+    for s, m12 in zip(range(0, P, B), results):  # pull after all enqueue
+        out[s:s + m12.shape[0]] = np.asarray(m12)
     return out
 
 
@@ -259,7 +261,7 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
         low_descs = []
         for f in features:
             order = np.argsort(-f.scale[:f.n_sift])[:nlow_cap]
-            low_descs.append(f.sift_desc[order])
+            low_descs.append(f.sift_desc[jnp.asarray(order, jnp.int32)])
         low_stack, low_counts = _stack_descriptors(low_descs, nlow_cap)
         # Per-pair symmetric count: min(cap, n_i, n_j) from each view
         pv = np.array([[min(low_counts[i], low_counts[j])] * 2

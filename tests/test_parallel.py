@@ -76,3 +76,31 @@ def test_sharded_tk_matches_expectation():
         return float(np.rad2deg(np.asarray(d)).max())
 
     assert min(err(res.model1), err(res.model2)) < 1.5
+
+
+def test_sharded_tk_bitmatches_single_device():
+    """Hypothesis padding to the mesh multiple must not change RANSAC
+    semantics: padded hypotheses are key-duplicates masked to −inf, so the
+    sharded driver selects exactly the single-device model (round-2 VERDICT
+    item 9; reference iteration count formula: tomasi_kanade.cpp:208-212)."""
+    from orthosfm_tpu.data import synthetic
+    from orthosfm_tpu.parallel import tk_sharded
+    from orthosfm_tpu.solvers import tomasi_kanade as tk
+
+    ds = synthetic.generate_dataset(synthetic.sphere_cloud(200), num_views=6,
+                                    seed=5)
+    cols = np.array([0, 1, 2])
+    obs = ds.tracks.obs[:, cols, :]
+    valid = ds.tracks.alive & jnp.all(ds.tracks.obs_mask[:, cols], axis=1)
+
+    m = mesh_mod.make_mesh(8)
+    run = tk_sharded.make_sharded_tk(m)
+    key = jax.random.PRNGKey(7)
+    res_s = run(obs, valid, 2048.0, 2048.0, key)
+    res_1 = tk.robust_factorization(obs, valid, 2048.0, 2048.0, key)
+    assert bool(res_s.found) == bool(res_1.found)
+    assert int(res_s.num_inliers) == int(res_1.num_inliers)
+    np.testing.assert_allclose(np.asarray(res_s.model1),
+                               np.asarray(res_1.model1), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_s.model2),
+                               np.asarray(res_1.model2), rtol=0, atol=1e-6)
