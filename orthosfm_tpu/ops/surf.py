@@ -37,11 +37,13 @@ N_OCTAVES = 4
 
 
 class SurfFeatures(NamedTuple):
-    xy: jnp.ndarray  # (K, 2) input-image pixels
-    scale: jnp.ndarray  # (K,)
-    orientation: jnp.ndarray  # (K,)
-    desc: jnp.ndarray  # (K, 64)
-    valid: jnp.ndarray  # (K,)
+    """Metadata host numpy; desc device-resident (see sift.Features)."""
+
+    xy: "np.ndarray"  # (K, 2) input-image pixels
+    scale: "np.ndarray"  # (K,)
+    orientation: "np.ndarray"  # (K,)
+    desc: jnp.ndarray  # (K, 64) device
+    valid: "np.ndarray"  # (K,)
 
 
 def integral_image(gray01):
@@ -149,39 +151,48 @@ def _detect_octave(resp, cap: int):
 
 
 def _localize_octave(resp, s, y, x, valid, o: int):
-    """Single-iteration 3×3×3 quadratic localization (surf.cc:356-475)."""
+    """Single-iteration 3×3×3 quadratic localization (surf.cc:356-475),
+    vectorized over keypoints: one gather per stencil tap + a closed-form
+    cofactor solve on the VPU (per-keypoint LU solves serialize on TPU)."""
     S4, h, w = resp.shape
+    iy = jnp.clip(y, 1, h - 2)
+    ix = jnp.clip(x, 1, w - 2)
+    flat = resp.reshape(-1)
 
-    def one(s0, iy, ix, ok):
-        nb = jax.lax.dynamic_slice(
-            resp, (s0 - 1, jnp.clip(iy - 1, 0, h - 3), jnp.clip(ix - 1, 0, w - 3)),
-            (3, 3, 3))
-        b = -jnp.array([
-            0.5 * (nb[1, 1, 2] - nb[1, 1, 0]),
-            0.5 * (nb[1, 2, 1] - nb[1, 0, 1]),
-            0.5 * (nb[2, 1, 1] - nb[0, 1, 1]),
-        ])
-        Axx = nb[1, 1, 0] - 2 * nb[1, 1, 1] + nb[1, 1, 2]
-        Ayy = nb[1, 0, 1] - 2 * nb[1, 1, 1] + nb[1, 2, 1]
-        Ass = nb[0, 1, 1] - 2 * nb[1, 1, 1] + nb[2, 1, 1]
-        Axy = 0.25 * (nb[1, 2, 2] - nb[1, 2, 0] - nb[1, 0, 2] + nb[1, 0, 0])
-        Axs = 0.25 * (nb[2, 1, 2] - nb[2, 1, 0] - nb[0, 1, 2] + nb[0, 1, 0])
-        Ays = 0.25 * (nb[2, 2, 1] - nb[2, 0, 1] - nb[0, 2, 1] + nb[0, 0, 1])
-        A = jnp.array([[Axx, Axy, Axs], [Axy, Ayy, Ays], [Axs, Ays, Ass]])
-        det = jnp.linalg.det(A)
-        singular = jnp.abs(det) < 1e-5
-        sol = jnp.linalg.solve(jnp.where(singular, jnp.eye(3), A), b)
-        off_ok = (jnp.max(jnp.abs(sol)) <= 0.5) & ~singular
-        # MVE: dog_value = N9[1][4] - 0.5 * vec_b.dot(vec_x) with vec_b = -g
-        value = nb[1, 1, 1] - 0.5 * jnp.dot(b, sol)
-        contrast_ok = value >= CONTRAST_THRESHOLD
-        sampling = 2.0**o
-        fx = (ix.astype(jnp.float32) + sol[0]) * sampling
-        fy = (iy.astype(jnp.float32) + sol[1]) * sampling
-        fsamp = s0.astype(jnp.float32) + sol[2]
-        return fx, fy, fsamp, ok & off_ok & contrast_ok
+    def at(ds, dy, dx):
+        return flat[((s + ds) * h + iy + dy) * w + ix + dx]
 
-    return jax.vmap(one)(s, y, x, valid)
+    gx = 0.5 * (at(0, 0, 1) - at(0, 0, -1))
+    gy = 0.5 * (at(0, 1, 0) - at(0, -1, 0))
+    gs = 0.5 * (at(1, 0, 0) - at(-1, 0, 0))
+    c0 = at(0, 0, 0)
+    a = at(0, 0, -1) - 2 * c0 + at(0, 0, 1)   # xx
+    e = at(0, -1, 0) - 2 * c0 + at(0, 1, 0)   # yy
+    i = at(-1, 0, 0) - 2 * c0 + at(1, 0, 0)   # ss
+    b = 0.25 * (at(0, 1, 1) - at(0, 1, -1) - at(0, -1, 1) + at(0, -1, -1))  # xy
+    c = 0.25 * (at(1, 0, 1) - at(1, 0, -1) - at(-1, 0, 1) + at(-1, 0, -1))  # xs
+    f = 0.25 * (at(1, 1, 0) - at(1, -1, 0) - at(-1, 1, 0) + at(-1, -1, 0))  # ys
+
+    A11, A12, A13 = e * i - f * f, -(b * i - f * c), b * f - e * c
+    A22, A23 = a * i - c * c, -(a * f - b * c)
+    A33 = a * e - b * b
+    det = a * A11 + b * A12 + c * A13
+    singular = jnp.abs(det) < 1e-5
+    inv_det = jnp.where(singular, 0.0, 1.0 / jnp.where(singular, 1.0, det))
+    # sol = A⁻¹·b_vec with b_vec = −g (reference vec_b, surf.cc:418-421)
+    sx = -(A11 * gx + A12 * gy + A13 * gs) * inv_det
+    sy = -(A12 * gx + A22 * gy + A23 * gs) * inv_det
+    ss = -(A13 * gx + A23 * gy + A33 * gs) * inv_det
+    off_ok = (jnp.maximum(jnp.maximum(jnp.abs(sx), jnp.abs(sy)),
+                          jnp.abs(ss)) <= 0.5) & ~singular
+    # MVE: dog_value = N9[1][4] - 0.5 * vec_b.dot(vec_x) with vec_b = -g
+    value = c0 - 0.5 * (-(gx * sx + gy * sy + gs * ss))
+    contrast_ok = value >= CONTRAST_THRESHOLD
+    sampling = 2.0**o
+    fx = (ix.astype(jnp.float32) + sx) * sampling
+    fy = (iy.astype(jnp.float32) + sy) * sampling
+    fsamp = s.astype(jnp.float32) + ss
+    return fx, fy, fsamp, valid & off_ok & contrast_ok
 
 
 # Precomputed circular offsets for the orientation window (surf.cc:558-576)
@@ -191,134 +202,239 @@ _ORI_GAUSS = np.exp(-(_ORI_OFFSETS[:, 0] ** 2 + _ORI_OFFSETS[:, 1] ** 2)
                     / (2.0 * 2.5**2))
 
 
-def _sat_at(S, y, x):
-    H, W = S.shape
+def _sat_at(S, y, x, vi=None):
+    """SAT lookup with clamping; S is (H, W) or, with vi given, (V, H, W) —
+    any index shapes broadcast into ONE gather."""
+    H, W = S.shape[-2:]
     yc = jnp.clip(y, 0, H - 1)
     xc = jnp.clip(x, 0, W - 1)
-    return S[yc, xc]
+    if vi is None:
+        return S[yc, xc]
+    return S[vi, yc, xc]
 
 
-def _haar_dx_dy(S, x, y, fs):
-    """Haar wavelet responses (surf.cc:623-659); x, y, fs traced ints."""
-    w = 1  # lookups are explicit 2-D indices here
-    x1 = _sat_at(S, y - fs - 1, x - fs - 1)
-    x2 = _sat_at(S, y - fs - 1, x - 1)
-    x3 = _sat_at(S, y - fs - 1, x)
-    x4 = _sat_at(S, y - fs - 1, x + fs)
-    x5 = _sat_at(S, y + fs, x - fs - 1)
-    x6 = _sat_at(S, y + fs, x - 1)
-    x7 = _sat_at(S, y + fs, x)
-    x8 = _sat_at(S, y + fs, x + fs)
-    y1 = _sat_at(S, y - 1, x - fs - 1)
-    y2 = _sat_at(S, y - 1, x + fs)
-    y3 = _sat_at(S, y, x - fs - 1)
-    y4 = _sat_at(S, y, x + fs)
+def _haar_dx_dy(S, x, y, fs, vi=None):
+    """Haar wavelet responses (surf.cc:623-659); x, y, fs traced ints of any
+    broadcastable shape (12 batched gathers total, not 12 per sample)."""
+    x1 = _sat_at(S, y - fs - 1, x - fs - 1, vi)
+    x2 = _sat_at(S, y - fs - 1, x - 1, vi)
+    x3 = _sat_at(S, y - fs - 1, x, vi)
+    x4 = _sat_at(S, y - fs - 1, x + fs, vi)
+    x5 = _sat_at(S, y + fs, x - fs - 1, vi)
+    x6 = _sat_at(S, y + fs, x - 1, vi)
+    x7 = _sat_at(S, y + fs, x, vi)
+    x8 = _sat_at(S, y + fs, x + fs, vi)
+    y1 = _sat_at(S, y - 1, x - fs - 1, vi)
+    y2 = _sat_at(S, y - 1, x + fs, vi)
+    y3 = _sat_at(S, y, x - fs - 1, vi)
+    y4 = _sat_at(S, y, x + fs, vi)
     norm = ((2 * fs + 1) * fs * (fs + 1)).astype(jnp.float32)
     dx = ((x8 + x2 - x4 - x6) - (x7 + x1 - x3 - x5)).astype(jnp.float32) / norm
     dy = ((x8 + y1 - x5 - y2) - (y4 + x1 - y3 - x4)).astype(jnp.float32) / norm
     return dx, dy
 
 
-def _orientation(S, kx, ky, scale, ok):
-    """Dominant orientation via π/3 sliding windows (surf.cc:519-617)."""
-    H, W = S.shape
-    ix = jnp.floor(kx + 0.5).astype(jnp.int32)
-    iy = jnp.floor(ky + 0.5).astype(jnp.int32)
-    s = scale.astype(jnp.int32)
-    spacing = 8 * s + 1
-    in_bounds = (ix >= spacing) & (iy >= spacing) & (ix + spacing < W) & (iy + spacing < H)
+def _orientation_block(S, vi, kx, ky, scale):
+    """Dominant orientation via π/3 sliding windows (surf.cc:519-617),
+    vectorized over a flat (C,) keypoint block. S (V, H, W) SAT stack."""
+    H, W = S.shape[-2:]
+    ix = jnp.floor(kx + 0.5).astype(jnp.int32)[:, None]
+    iy = jnp.floor(ky + 0.5).astype(jnp.int32)[:, None]
+    s = scale.astype(jnp.int32)[:, None]
+    spacing = (8 * s + 1)[:, 0]
+    in_bounds = ((ix[:, 0] >= spacing) & (iy[:, 0] >= spacing)
+                 & (ix[:, 0] + spacing < W) & (iy[:, 0] + spacing < H))
 
-    offs = jnp.asarray(_ORI_OFFSETS, jnp.int32)
+    offs = jnp.asarray(_ORI_OFFSETS, jnp.int32)  # (109, 2)
     gauss = jnp.asarray(_ORI_GAUSS, jnp.float32)
-    px = ix + offs[:, 0] * s
-    py = iy + offs[:, 1] * s
-    dx, dy = jax.vmap(lambda a, b: _haar_dx_dy(S, a, b, 2 * s))(px, py)
+    px = ix + offs[None, :, 0] * s  # (C, 109)
+    py = iy + offs[None, :, 1] * s
+    dx, dy = _haar_dx_dy(S, px, py, 2 * s, vi=vi[:, None])
     dx = dx * gauss
     dy = dy * gauss
-    ang = jnp.arctan2(dy, dx)
+    ang = jnp.arctan2(dy, dx)  # (C, 109)
 
     centers = jnp.arange(-np.pi, np.pi, np.pi / 8.0)
+    lo = centers - np.pi / 6.0  # (16,)
+    hi = centers + np.pi / 6.0
+    a = ang[:, :, None]
+    inside = (((a > lo) & (a < hi))
+              | ((a + 2 * np.pi > lo) & (a + 2 * np.pi < hi))
+              | ((a - 2 * np.pi > lo) & (a - 2 * np.pi < hi)))  # (C, 109, 16)
+    sx = jnp.sum(jnp.where(inside, dx[:, :, None], 0.0), axis=1)  # (C, 16)
+    sy = jnp.sum(jnp.where(inside, dy[:, :, None], 0.0), axis=1)
+    lengths = sx * sx + sy * sy
+    best = jnp.argmax(lengths, axis=-1)  # (C,)
+    bsx = jnp.take_along_axis(sx, best[:, None], 1)[:, 0]
+    bsy = jnp.take_along_axis(sy, best[:, None], 1)[:, 0]
+    return jnp.arctan2(bsy, bsx), in_bounds
 
-    def window(c):
-        lo, hi = c - np.pi / 6.0, c + np.pi / 6.0
-        inside = (((ang > lo) & (ang < hi))
-                  | ((ang + 2 * np.pi > lo) & (ang + 2 * np.pi < hi))
-                  | ((ang - 2 * np.pi > lo) & (ang - 2 * np.pi < hi)))
-        sx = jnp.sum(jnp.where(inside, dx, 0.0))
-        sy = jnp.sum(jnp.where(inside, dy, 0.0))
-        return sx * sx + sy * sy, sx, sy
 
-    lengths, sxs, sys = jax.vmap(window)(centers)
-    best = jnp.argmax(lengths)
-    return jnp.arctan2(sys[best], sxs[best]), ok & in_bounds
-
-
-def _descriptor(S, kx, ky, scale, ori, ok):
-    """64-d SURF descriptor (surf.cc:663-733)."""
-    H, W = S.shape
+def _descriptor_block(S, vi, kx, ky, scale, ori):
+    """64-d SURF descriptor (surf.cc:663-733), vectorized over a flat (C,)
+    keypoint block. S (V, H, W) SAT stack."""
+    H, W = S.shape[-2:]
+    C = kx.shape[0]
     s = scale.astype(jnp.int32)
     spacing = (15 * s + 1).astype(jnp.float32)
     in_bounds = ((kx >= spacing) & (ky >= spacing)
                  & (kx + spacing < W) & (ky + spacing <= H))
-    sino, coso = jnp.sin(ori), jnp.cos(ori)
+    sino, coso = jnp.sin(ori)[:, None, None], jnp.cos(ori)[:, None, None]
 
     grid = jnp.arange(-10, 10)
     gx, gy = jnp.meshgrid(grid, grid, indexing="xy")  # (20, 20)
-    gxf = gx.astype(jnp.float32) + 0.5
-    gyf = gy.astype(jnp.float32) + 0.5
-    rot_x = jnp.floor(kx + (coso * gxf - sino * gyf) * s + 0.5).astype(jnp.int32)
-    rot_y = jnp.floor(ky + (sino * gxf + coso * gyf) * s + 0.5).astype(jnp.int32)
+    gxf = (gx.astype(jnp.float32) + 0.5)[None]
+    gyf = (gy.astype(jnp.float32) + 0.5)[None]
+    sf = s.astype(jnp.float32)[:, None, None]
+    rot_x = jnp.floor(kx[:, None, None] + (coso * gxf - sino * gyf) * sf
+                      + 0.5).astype(jnp.int32)  # (C, 20, 20)
+    rot_y = jnp.floor(ky[:, None, None] + (sino * gxf + coso * gyf) * sf
+                      + 0.5).astype(jnp.int32)
 
-    dx, dy = jax.vmap(jax.vmap(lambda a, b: _haar_dx_dy(S, a, b, s)))(rot_x, rot_y)
+    dx, dy = _haar_dx_dy(S, rot_x, rot_y, s[:, None, None],
+                         vi=vi[:, None, None])
     odx = coso * dx + sino * dy
     ody = -sino * dx + coso * dy
-    weight = jnp.exp(-(gx.astype(jnp.float32) ** 2 + gy.astype(jnp.float32) ** 2)
-                     / (2.0 * 3.3) ** 2)
+    weight = (jnp.exp(-(gx.astype(jnp.float32) ** 2
+                        + gy.astype(jnp.float32) ** 2) / (2.0 * 3.3) ** 2))[None]
     stats = jnp.stack([weight * odx, weight * ody,
-                       weight * jnp.abs(odx), weight * jnp.abs(ody)], -1)  # (20,20,4)
-    blocks = stats.reshape(4, 5, 4, 5, 4).sum(axis=(1, 3))  # (yb, xb, 4)
-    d = blocks.reshape(64)
-    norm2 = jnp.sum(d * d)
+                       weight * jnp.abs(odx), weight * jnp.abs(ody)], -1)
+    blocks = stats.reshape(C, 4, 5, 4, 5, 4).sum(axis=(2, 4))  # (C, yb, xb, 4)
+    d = blocks.reshape(C, 64)
+    norm2 = jnp.sum(d * d, axis=-1)
     nonzero = norm2 > 1e-8
-    d = d / jnp.sqrt(jnp.maximum(norm2, 1e-12))
-    return d, ok & in_bounds & nonzero
+    d = d / jnp.sqrt(jnp.maximum(norm2, 1e-12))[:, None]
+    return d, in_bounds & nonzero
 
 
-def _extract_body(gray01, per_octave_cap: int = 1024) -> SurfFeatures:
-    """Full SURF extraction on a grayscale [0,1] image."""
-    S = integral_image(gray01)
-    all_x, all_y, all_scale, all_valid = [], [], [], []
-    for o in range(N_OCTAVES):
-        resp = _octave_responses(S, o)
-        s_idx, yy, xx, valid = _detect_octave(resp, per_octave_cap)
-        fx, fy, fsamp, valid = _localize_octave(resp, s_idx, yy, xx, valid, o)
-        samp_round = jnp.clip(jnp.floor(fsamp + 0.5).astype(jnp.int32), 0, 3)
-        fs_tab = jnp.asarray(KERNEL_SIZES[o], jnp.float32)
-        scale = 3.0 * fs_tab[samp_round] * 1.2 / 9.0
-        all_x.append(fx)
-        all_y.append(fy)
-        all_scale.append(scale)
-        all_valid.append(valid)
-
-    kx = jnp.concatenate(all_x)
-    ky = jnp.concatenate(all_y)
-    scale = jnp.concatenate(all_scale)
-    valid = jnp.concatenate(all_valid)
-
-    ori, valid = jax.vmap(lambda a, b, c, d: _orientation(S, a, b, c, d))(
-        kx, ky, scale, valid)
-    desc, valid = jax.vmap(lambda a, b, c, d, e: _descriptor(S, a, b, c, d, e))(
-        kx, ky, scale, ori, valid)
-    return SurfFeatures(xy=jnp.stack([kx, ky], -1), scale=scale,
-                        orientation=ori, desc=desc, valid=valid)
+def _orientation(S, kx, ky, scale, ok):
+    """Single-keypoint wrapper around _orientation_block (kept for the unit
+    tests; the pipeline uses the flat block path)."""
+    ori, ib = _orientation_block(S[None], jnp.zeros((1,), jnp.int32),
+                                 kx[None], ky[None], scale[None])
+    return ori[0], ok & ib[0]
 
 
-extract = functools.partial(jax.jit, static_argnames=("per_octave_cap",))(
-    _extract_body)
+def _descriptor(S, kx, ky, scale, ori, ok):
+    """Single-keypoint wrapper around _descriptor_block (kept for the unit
+    tests; the pipeline uses the flat block path)."""
+    d, ib = _descriptor_block(S[None], jnp.zeros((1,), jnp.int32),
+                              kx[None], ky[None], scale[None], ori[None])
+    return d[0], ok & ib[0]
+
+
+def _octave_cap(per_octave_cap: int, h: int, w: int, o: int) -> int:
+    """Static per-octave keypoint capacity, shrunk with the octave's response
+    sample count (NMS maxima get sparser as the stride grows)."""
+    return max(128, min(per_octave_cap, (h * w) >> (2 * o + 6)))
 
 
 @functools.partial(jax.jit, static_argnames=("per_octave_cap",))
+def _detect_surf_batch(grays, per_octave_cap: int):
+    """SAT + responses + NMS + localization for all octaves over a (V, H, W)
+    stack. Returns (S (V, H, W) SAT stack, kp (V, ΣcapO, 4) packed
+    [x, y, scale, valid] — ONE host pull)."""
+    H, W = grays.shape[1:]
+
+    def one(gray01):
+        S = integral_image(gray01)
+        kps = []
+        for o in range(N_OCTAVES):
+            cap = _octave_cap(per_octave_cap, H, W, o)
+            resp = _octave_responses(S, o)
+            s_idx, yy, xx, valid = _detect_octave(resp, cap)
+            fx, fy, fsamp, valid = _localize_octave(resp, s_idx, yy, xx,
+                                                    valid, o)
+            samp_round = jnp.clip(jnp.floor(fsamp + 0.5).astype(jnp.int32),
+                                  0, 3)
+            fs_tab = jnp.asarray(KERNEL_SIZES[o], jnp.float32)
+            scale = 3.0 * fs_tab[samp_round] * 1.2 / 9.0
+            kps.append(jnp.stack([fx, fy, scale,
+                                  valid.astype(jnp.float32)], -1))
+        return S, jnp.concatenate(kps)
+
+    return jax.vmap(one)(grays)
+
+
+_SURF_CHUNK = 1024
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots",))
+def _ori_desc_flat(S, kp, vi_slots, n_slots: int):
+    """Orientation + descriptor over a flat compacted keypoint array.
+
+    S (V, H, W) SAT stack; kp (B, 4) packed [view, x, y, scale] rows (B a
+    multiple of the chunk size); vi_slots (B, 2) scatter destinations.
+    Returns (packed (B, 2) [orientation, valid] — one host pull — and desc
+    scattered to (V, n_slots, 64), device-resident)."""
+
+    def body(kp_c):
+        vi = kp_c[:, 0].astype(jnp.int32)
+        kx, ky, scale = kp_c[:, 1], kp_c[:, 2], kp_c[:, 3]
+        ori, ok1 = _orientation_block(S, vi, kx, ky, scale)
+        d, ok2 = _descriptor_block(S, vi, kx, ky, scale, ori)
+        return ori, ok1 & ok2, d
+
+    B = kp.shape[0]
+    V = S.shape[0]
+    chunk = min(_SURF_CHUNK, B)
+    ori, ok, desc = jax.lax.map(body, kp.reshape(B // chunk, chunk, 4))
+    ori = ori.reshape(B)
+    ok = ok.reshape(B)
+    desc = jnp.where(ok[:, None], desc.reshape(B, 64), 0.0)
+    desc_slots = jnp.zeros((V, n_slots, 64), jnp.float32).at[
+        vi_slots[:, 0], vi_slots[:, 1]].set(desc)
+    return jnp.stack([ori, ok.astype(jnp.float32)], -1), desc_slots
+
+
 def extract_batch(grays, per_octave_cap: int = 1024) -> SurfFeatures:
-    """Batched SURF over a (V, H, W) same-shape stack; fields carry a
-    leading V axis (see sift.extract_batch for the rationale)."""
-    return jax.vmap(lambda g: _extract_body(g, per_octave_cap))(grays)
+    """Batched SURF over a (V, H, W) same-shape stack; metadata fields are
+    host numpy with a leading V axis, desc is device-resident — same
+    host-compacted design as sift.extract_batch: detection runs at capacity,
+    the expensive per-keypoint orientation/descriptor stages only on actual
+    detections, with two host syncs total."""
+    V, H, W = grays.shape
+    S, kp_packed = _detect_surf_batch(grays, per_octave_cap)
+    kp_np = np.asarray(kp_packed)  # sync 1
+    n_slots = kp_np.shape[1]
+    valid_np = kp_np[:, :, 3] > 0.5
+    vi_np, ki_np = np.nonzero(valid_np)
+    n = vi_np.shape[0]
+    xy = np.zeros((V, n_slots, 2), np.float32)
+    scale_out = np.zeros((V, n_slots), np.float32)
+    ori_out = np.zeros((V, n_slots), np.float32)
+    valid_out = np.zeros((V, n_slots), bool)
+    if n == 0:
+        return SurfFeatures(xy=xy, scale=scale_out, orientation=ori_out,
+                            desc=jnp.zeros((V, n_slots, 64), jnp.float32),
+                            valid=valid_out)
+
+    B = _SURF_CHUNK
+    while B < n:
+        B *= 2
+    kxyz = kp_np[vi_np, ki_np, :3]
+    kp_flat = np.zeros((B, 4), np.float32)
+    kp_flat[:n, 0] = vi_np
+    kp_flat[:n, 1:] = kxyz
+    vi_slots = np.zeros((B, 2), np.int32)
+    vi_slots[:n, 0] = vi_np
+    vi_slots[:n, 1] = ki_np
+    vi_slots[n:, 1] = n_slots  # out-of-bounds → dropped by the scatter
+
+    packed, desc_slots = _ori_desc_flat(S, jnp.asarray(kp_flat),
+                                        jnp.asarray(vi_slots), n_slots)
+    packed_np = np.asarray(packed[:n])  # sync 2
+    xy[vi_np, ki_np] = kxyz[:, :2]
+    scale_out[vi_np, ki_np] = kxyz[:, 2]
+    ori_out[vi_np, ki_np] = packed_np[:, 0]
+    valid_out[vi_np, ki_np] = packed_np[:, 1] > 0.5
+    return SurfFeatures(xy=xy, scale=scale_out, orientation=ori_out,
+                        desc=desc_slots, valid=valid_out)
+
+
+def extract(gray01, per_octave_cap: int = 1024) -> SurfFeatures:
+    """Single-image SURF — the V=1 case of extract_batch (bit-identical)."""
+    fb = extract_batch(jnp.asarray(gray01)[None], per_octave_cap)
+    return SurfFeatures(xy=fb.xy[0], scale=fb.scale[0],
+                        orientation=fb.orientation[0], desc=fb.desc[0],
+                        valid=fb.valid[0])
