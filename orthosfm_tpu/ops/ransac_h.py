@@ -92,3 +92,21 @@ def find_homography(p1, p2, valid, key, iterations: int = 10000,
     inliers = (err < limit) & valid
     return RansacHResult(inliers=inliers, num_inliers=jnp.sum(inliers),
                          homography=H)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "refine_loops"))
+def find_homography_batched(p1, p2, valid, key, iterations: int = 10000,
+                            threshold_px: float = 30.0,
+                            find_threshold_px: float = 60.0,
+                            refine_loops: int = 50) -> RansacHResult:
+    """Pair-batched find_homography: p1/p2 (P, M, 2), valid (P, M). All P
+    pairs verify inside one device program (the per-pair host loop costs a
+    dispatch + sync round trip per pair otherwise) — the same batching the
+    fundamental-matrix path has."""
+    P = p1.shape[0]
+    keys = jax.random.split(key, P)
+    return jax.vmap(
+        lambda a, b, v, k: find_homography(
+            a, b, v, k, iterations=iterations, threshold_px=threshold_px,
+            find_threshold_px=find_threshold_px, refine_loops=refine_loops)
+    )(p1, p2, valid, keys)

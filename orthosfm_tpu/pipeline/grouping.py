@@ -1,9 +1,13 @@
 """Greedy next-best-view group construction (host-side).
 
 Replaces the reference's combinatorial loops (src/data_structures/group.cpp:
-13-212) with vectorized NumPy scoring over the track-view incidence matrix:
-the per-candidate "number of shared full-size tracks" becomes a masked
-column-product reduction instead of O(#candidates × #tracks) list filtering.
+13-212) with vectorized NumPy scoring over the track-view incidence matrix.
+For the reference's groupSize=3 the whole schedule reduces to ONE
+pattern-compressed triple-co-occurrence tensor S3[a,b,c] = #tracks covering
+views {a,b,c} (tracks dedupe by support pattern first, so the matmuls scale
+with distinct patterns, not tracks); every group selection is then a masked
+argmax — the reference's O(C(used,2)·remaining·tracks) re-scan per group
+(group.cpp:42-83, omp-parallel at group.cpp:118) disappears entirely.
 Control flow stays on the host — group construction is inherently sequential
 and tiny next to the device work it schedules.
 """
@@ -19,7 +23,10 @@ import numpy as np
 def complete_group(seed_ids, incidence, view_ids, remaining, group_size):
     """Greedily extend seed_ids to group_size by adding, at each step, the
     remaining view sharing the most full-size tracks with the current group
-    (reference: group.cpp:90-155). Returns (ids, shared_track_count)."""
+    (reference: group.cpp:90-155). Returns (ids, shared_track_count).
+
+    Generic-group-size path (the vectorized groupSize=3 schedule below never
+    calls this)."""
     col = {int(v): i for i, v in enumerate(view_ids)}
     ids = list(seed_ids)
     added_tracks = 0
@@ -40,6 +47,33 @@ def complete_group(seed_ids, incidence, view_ids, remaining, group_size):
     return ids, added_tracks
 
 
+def triple_counts(incidence) -> np.ndarray:
+    """S3[a,b,c] = number of tracks observed in all of views a, b, c.
+
+    Tracks collapse to unique support patterns with multiplicities first
+    (real track sets have few distinct patterns), then one (V, P)·(P, V)
+    matmul per leading view builds the tensor: O(P·V³) instead of O(T·V³).
+    """
+    Mb = np.ascontiguousarray(np.asarray(incidence, bool))
+    pat, counts = np.unique(Mb, axis=0, return_counts=True)
+    Mp = pat.astype(np.float32)  # (P, V)
+    MpW = Mp * counts.astype(np.float32)[:, None]
+    V = Mp.shape[1]
+    S3 = np.empty((V, V, V), np.int64)
+    for a in range(V):
+        S3[a] = np.rint((Mp * Mp[:, a:a + 1]).T @ MpW).astype(np.int64)
+    return S3
+
+
+def _warn_disconnected():
+    import warnings
+
+    warnings.warn(
+        "A view did not contain any matches to any other views; "
+        "the reconstruction may not succeed."
+    )
+
+
 def build_groups(view_ids, incidence, group_size: int = 3) -> List[List[int]]:
     """Ordered group schedule, always seeded with views 0 and 1
     (reference: group.cpp:13-88).
@@ -50,7 +84,48 @@ def build_groups(view_ids, incidence, group_size: int = 3) -> List[List[int]]:
     view_ids = [int(v) for v in view_ids]
     if len(view_ids) < group_size:
         raise ValueError(f"need at least {group_size} views, got {len(view_ids)}")
+    if group_size != 3:
+        return _build_groups_generic(view_ids, incidence, group_size)
 
+    S3 = triple_counts(incidence)
+    col = {v: i for i, v in enumerate(view_ids)}
+    to_assign = sorted(view_ids[2:])
+    groups: List[List[int]] = []
+
+    # First group: seed {view 0, view 1}, best third by shared-track count
+    # (ties resolve to the lowest id, like the reference's strict-> scan)
+    c0, c1 = col[view_ids[0]], col[view_ids[1]]
+    rem_cols = np.array([col[v] for v in to_assign])
+    scores = S3[c0, c1, rem_cols]
+    best = int(np.argmax(scores))
+    first = [view_ids[0], view_ids[1], to_assign[best]]
+    groups.append(first)
+    used = sorted(first)
+    to_assign = [v for v in to_assign if v not in first]
+
+    while to_assign:
+        u_cols = np.array([col[v] for v in used])
+        r_cols = np.array([col[v] for v in to_assign])
+        sub = S3[np.ix_(u_cols, u_cols, r_cols)]
+        # Only a<b seed pairs, matching itertools.combinations(sorted(used))
+        a_idx, b_idx = np.triu_indices(len(used), k=1)
+        flat = sub[a_idx, b_idx]  # (n_pairs, R) in lexicographic (a, b) order
+        best = int(np.argmax(flat))  # first maximum = reference scan order
+        pair, cand = divmod(best, flat.shape[1])
+        score = int(flat[pair, cand])
+        ids = [used[int(a_idx[pair])], used[int(b_idx[pair])], to_assign[cand]]
+        if score == 0:
+            _warn_disconnected()
+        groups.append(ids)
+        for v in ids:
+            if v in to_assign:
+                to_assign.remove(v)
+        used = sorted(set(used) | set(ids))
+    return groups
+
+
+def _build_groups_generic(view_ids, incidence, group_size: int) -> List[List[int]]:
+    """Reference-faithful loop for group sizes ≠ 3."""
     to_assign = set(view_ids[2:])
     used: set = set()
     groups: List[List[int]] = []
@@ -69,12 +144,7 @@ def build_groups(view_ids, incidence, group_size: int = 3) -> List[List[int]]:
             if score > best_score:
                 best_ids, best_score = ids, score
         if best_score == 0:
-            import warnings
-
-            warnings.warn(
-                "A view did not contain any matches to any other views; "
-                "the reconstruction may not succeed."
-            )
+            _warn_disconnected()
         groups.append(best_ids)
         for i in best_ids:
             to_assign.discard(i)

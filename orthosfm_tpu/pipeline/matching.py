@@ -180,11 +180,6 @@ def extract_all_view_features(views: List[View],
     return out
 
 
-def _padded(arr, n, fill=0.0):
-    out = np.full((n,) + arr.shape[1:], fill, arr.dtype)
-    out[: arr.shape[0]] = arr
-    return out
-
 
 def _stack_descriptors(descs, cap):
     """(V, cap, D) stacked+padded DEVICE descriptor tensor and (V,) host
@@ -248,27 +243,38 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
             print("Found a total of 0 matching image pairs.")
         return []
 
-    # --- Low-res matchability gate on SIFT descriptors, batched
-    # (two_view_matching, bundler_matching.cc:146-158)
+    # --- Low-res matchability gate, batched (two_view_matching,
+    # bundler_matching.cc:146-158). Per the reference's pairwise_match_lowres
+    # (exhaustive_matching.cc:147-176): gate on lowres SIFT when the FIRST
+    # view has SIFT features, otherwise on lowres SURF; each view contributes
+    # min(lowres_feature_count, its own count) features independently.
     gated = [(i, j) for (i, j) in all_pairs
-             if features[i].count * features[j].count > 1_000_000
-             and features[i].n_sift and features[j].n_sift]
+             if features[i].count * features[j].count > 1_000_000]
     passed = {p: True for p in all_pairs}
-    if gated:
+    gated_by_type = {
+        "sift": [p for p in gated if features[p[0]].n_sift],
+        "surf": [p for p in gated
+                 if not features[p[0]].n_sift
+                 and features[p[0]].count - features[p[0]].n_sift],
+    }
+    for kind, gpairs in gated_by_type.items():
+        if not gpairs:
+            continue
+        if kind == "sift":
+            per_view = [(f.scale[:f.n_sift], f.sift_desc) for f in features]
+            ratio = m.lowe_ratio
+        else:
+            per_view = [(f.scale[f.n_sift:], f.surf_desc) for f in features]
+            ratio = m.surf_lowe_ratio
         nlow_cap = min(m.lowres_feature_count,
-                       max(features[i].n_sift for i, _ in gated),
-                       max(features[j].n_sift for _, j in gated))
+                       max(max(s.shape[0] for s, _ in per_view), 1))
         low_descs = []
-        for f in features:
-            order = np.argsort(-f.scale[:f.n_sift])[:nlow_cap]
-            low_descs.append(f.sift_desc[jnp.asarray(order, jnp.int32)])
+        for scale, desc in per_view:
+            order = np.argsort(-scale)[:nlow_cap]
+            low_descs.append(desc[jnp.asarray(order, jnp.int32)])
         low_stack, low_counts = _stack_descriptors(low_descs, nlow_cap)
-        # Per-pair symmetric count: min(cap, n_i, n_j) from each view
-        pv = np.array([[min(low_counts[i], low_counts[j])] * 2
-                       for (i, j) in gated], np.int32)
-        m_low = _batched_pair_matches(low_stack, low_counts, gated,
-                                      m.lowe_ratio, pair_valid_n=pv)
-        for p, row in zip(gated, m_low):
+        m_low = _batched_pair_matches(low_stack, low_counts, gpairs, ratio)
+        for p, row in zip(gpairs, m_low):
             if int((row >= 0).sum()) < m.lowres_match_threshold:
                 passed[p] = False
                 if verbose:
@@ -318,31 +324,45 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
 
     # --- Geometric verification
     results = []
-    if m.pair_verification == "homography":
+    if m.pair_verification == "homography" and candidates:
         # CudaSift-style verification on pixel coordinates (alternate engine,
-        # per pair — the default fundamental path below is pair-batched)
+        # reference: matching.cpp:172-199) — pair-batched like the
+        # fundamental path below
         from orthosfm_tpu.ops import ransac_h
 
-        for (i, j, idx_i, idx_j) in candidates:
-            fi, fj = features[i], features[j]
-            key, k = jax.random.split(key)
-            p1 = jnp.asarray(_padded(fi.xy[idx_i], _bucket(len(idx_i), 256)))
-            p2 = jnp.asarray(_padded(fj.xy[idx_j], p1.shape[0]))
-            valid = jnp.arange(p1.shape[0]) < len(idx_i)
-            res = ransac_h.find_homography(
-                p1, p2, valid, k, iterations=m.homography_iterations,
+        M = _bucket(max(len(c[2]) for c in candidates), 256)
+        P = len(candidates)
+        p1 = np.zeros((P, M, 2), np.float32)
+        p2 = np.zeros((P, M, 2), np.float32)
+        valid = np.zeros((P, M), bool)
+        for pi, (i, j, idx_i, idx_j) in enumerate(candidates):
+            p1[pi, :len(idx_i)] = features[i].xy[idx_i]
+            p2[pi, :len(idx_i)] = features[j].xy[idx_j]
+            valid[pi, :len(idx_i)] = True
+        # Chunk so the (chunk, iterations, M) transfer-error blocks stay ≲0.5 GB
+        chunk = max(1, (1 << 27) // max(m.homography_iterations * M, 1))
+        key, k = jax.random.split(key)
+        for s in range(0, P, chunk):
+            res = ransac_h.find_homography_batched(
+                jnp.asarray(p1[s:s + chunk]), jnp.asarray(p2[s:s + chunk]),
+                jnp.asarray(valid[s:s + chunk]), jax.random.fold_in(k, s),
+                iterations=m.homography_iterations,
                 threshold_px=m.homography_threshold_px,
                 find_threshold_px=m.homography_find_threshold_px)
-            n_inl = int(res.num_inliers)
-            if n_inl < m.homography_min_inliers:
+            num_inl = np.asarray(res.num_inliers)
+            inliers = np.asarray(res.inliers)
+            for ci in range(len(num_inl)):
+                i, j, idx_i, idx_j = candidates[s + ci]
+                n_inl = int(num_inl[ci])
+                if n_inl < m.homography_min_inliers:
+                    if verbose:
+                        print(f"Pair ({i},{j}) rejected, {n_inl} inliers "
+                              f"below threshold {m.homography_min_inliers}.")
+                    continue
+                inl = inliers[ci][: len(idx_i)]
+                results.append((i, j, idx_i[inl], idx_j[inl]))
                 if verbose:
-                    print(f"Pair ({i},{j}) rejected, {n_inl} inliers below "
-                          f"threshold {m.homography_min_inliers}.")
-                continue
-            inl = np.asarray(res.inliers)[: len(idx_i)]
-            results.append((i, j, idx_i[inl], idx_j[inl]))
-            if verbose:
-                print(f"Pair ({i},{j}) matched, {n_inl} inliers.")
+                    print(f"Pair ({i},{j}) matched, {n_inl} inliers.")
     elif candidates:
         # Pair-batched RANSAC-F: all candidate pairs verify in chunks of one
         # compiled program each (vs MVE's per-pair 1000-iteration loops)

@@ -83,6 +83,32 @@ def test_reconstruct_with_masks_and_downscale(tmp_path):
 
 
 @pytest.mark.slow
+def test_reconstruct_homography_engine(tmp_path):
+    """End-to-end with the CudaSift-style homography verification engine
+    (pair_verification="homography", reference: matching.cpp:160-215) —
+    the alternate engine must produce a full reconstruction too."""
+    import dataclasses
+
+    images = str(tmp_path / "images")
+    proj = str(tmp_path / "project")
+    gt = render.make_image_dataset(images, num_views=5, width=224, height=224,
+                                   seed=3, ring_degrees=100)
+    project_io.create_project(proj)
+    cfg = ReconstructionConfig(project_folder=proj, image_folder=images,
+                               solver=SolverType.ORTHO_QUATERNION)
+    cfg = dataclasses.replace(
+        cfg, matching=dataclasses.replace(
+            cfg.matching, pair_verification="homography",
+            # homographies only approximate non-planar scenes: keep the
+            # reference's gates but fewer hypotheses for CPU test speed
+            homography_iterations=2000))
+    res, views = reconstruct(cfg, verbose=False)
+    assert res.present.all()
+    ang, pos = metrics.pose_errors(res.cameras, gt)
+    assert ang.max() < 3.0, ang
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("solver", [SolverType.ORTHO_QUATERNION,
                                     SolverType.ORTHO_EULER_HORIZONTAL,
                                     SolverType.ORTHO_EULER_HORIZONTAL_VERTICAL,

@@ -28,6 +28,47 @@ def test_build_groups_covers_all_views():
         used.update(g)
 
 
+def test_vectorized_groups_match_reference_loop():
+    """The triple-count tensor schedule must reproduce the reference-faithful
+    combinatorial loop exactly (same groups, same order) on random track
+    incidence structures."""
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        V = int(rng.integers(4, 11))
+        T = int(rng.integers(30, 200))
+        inc = rng.random((T, V)) < rng.uniform(0.25, 0.7)
+        # ensure every view appears and the first two overlap somewhere
+        inc[:V] |= np.eye(V, dtype=bool)
+        inc[0, :2] = True
+        ids = list(range(V))
+        fast = grouping.build_groups(ids, inc, 3)
+        slow = grouping._build_groups_generic(ids, inc, 3)
+        assert fast == slow, (trial, fast, slow)
+
+
+def test_grouping_scales_to_many_views():
+    """64 views / 20k tracks must schedule in well under a second (the
+    reference omp-parallelizes an O(C(used,2)·remaining·tracks) rescan per
+    group, group.cpp:118; the tensor schedule is one-shot)."""
+    import time
+
+    rng = np.random.default_rng(1)
+    V, T = 64, 20000
+    centers = rng.integers(0, V, T)
+    span = rng.integers(2, 6, T)
+    cols = np.arange(V)[None, :]
+    inc = (np.abs((cols - centers[:, None] + V // 2) % V - V // 2)
+           <= span[:, None])
+    t0 = time.monotonic()
+    groups = grouping.build_groups(list(range(V)), inc, 3)
+    dt = time.monotonic() - t0
+    covered = set()
+    for g in groups:
+        covered.update(g)
+    assert covered == set(range(V))
+    assert dt < 5.0, f"grouping took {dt:.2f}s"
+
+
 @pytest.mark.parametrize("solver", [SolverType.ORTHO_QUATERNION,
                                     SolverType.ORTHO_EULER_ALL_DOF])
 def test_pose_estimation_synthetic(solver):
