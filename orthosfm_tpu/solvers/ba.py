@@ -529,8 +529,10 @@ def run(cams: cam_mod.CameraSet, points4, obs, mask,
       obs: (T, V, 2) pixel observations aligned to the camera order.
       mask: (T, V) which observations participate (obs_mask & alive & has_point).
 
-    On TPU backends the LM iteration runs through the fused Pallas kernels
-    (ba_pallas.py); elsewhere (CPU tests, virtual meshes) the pure-XLA path.
+    On TPU backends the LM loop runs as ONE fused Pallas megakernel
+    (ba_fused.py) when the problem fits in VMEM, else through the two-kernel
+    per-iteration path (ba_pallas.py); elsewhere (CPU tests, virtual meshes)
+    the pure-XLA path.
 
     Equivalent call in the reference: runBundleAdjustment(cameras, tracks,
     algorithm, optimizePoints, retriangulate) — retriangulation is done by the
@@ -543,7 +545,12 @@ def run(cams: cam_mod.CameraSet, points4, obs, mask,
         except Exception:
             platform = jax.default_backend()
         if platform in ("tpu", "axon"):
-            impl = "pallas"
+            from orthosfm_tpu.solvers import ba_fused
+
+            T = obs.shape[0]
+            T_fused = -(-T // ba_fused.TILE) * ba_fused.TILE
+            impl = ("fused" if ba_fused.fits(len(cams), T_fused)
+                    else "pallas")
     return _run_jit(cams, points4, obs, mask, optimize_points=optimize_points,
                     config=config, impl=impl)
 
@@ -567,11 +574,12 @@ def _run_jit(cams: cam_mod.CameraSet, points4, obs, mask,
     maskT = mask.T  # (V, T)
     pT = p_hat.T  # (4, T)
 
-    if impl == "pallas":
-        from orthosfm_tpu.solvers import ba_pallas
+    if impl in ("pallas", "fused"):
+        from orthosfm_tpu.solvers import ba_fused, ba_pallas
 
+        tile = ba_fused.TILE if impl == "fused" else ba_pallas.TILE
         T = obs.shape[0]
-        T_pad = -(-T // ba_pallas.TILE) * ba_pallas.TILE
+        T_pad = -(-T // tile) * tile
         if T_pad != T:
             pad = T_pad - T
             obsT = jnp.pad(obsT, ((0, 0), (0, 0), (0, pad)))
@@ -579,9 +587,35 @@ def _run_jit(cams: cam_mod.CameraSet, points4, obs, mask,
             pT = jnp.concatenate(
                 [pT, jnp.broadcast_to(safe[:, None], (4, pad))], axis=1)
 
+    if impl == "fused":
+        return _run_fused(cams, pT, obsT, maskT, free_c, optimize_points,
+                          config, n_tracks=obs.shape[0])
+
     cams_f, p_f, cost_f, init_cost, iters = _lm_loop(
         cams, pT, obsT, maskT, free_c, optimize_points, config, impl=impl)
     return BAResult(cams=cams_f, points=p_f.T[:obs.shape[0]], cost=cost_f,
+                    initial_cost=init_cost, iterations=iters)
+
+
+def _run_fused(cams, pT, obsT, maskT, free_c, optimize_points, config,
+               n_tracks, interpret=None):
+    """Dispatch to the single-kernel fused LM solver (ba_fused.run_lm) and
+    repackage its outputs as a BAResult. Inputs are the padded T-minor
+    tensors _run_jit builds."""
+    from orthosfm_tpu.solvers import ba_fused
+
+    dtype = obsT.dtype
+    _, _, camp = _camera_tensors(cams)
+    cfg_row = jnp.array([[config.initial_lambda, config.max_iterations,
+                          config.function_tolerance, config.lambda_up,
+                          config.lambda_down, config.min_lambda,
+                          config.max_lambda, 0.0]], jnp.float32)
+    rot_f, camp_f, p_f, cost_f, init_cost, iters = ba_fused.run_lm(
+        cams.kind, pT, obsT, maskT.astype(dtype), cams.rot, camp,
+        free_c.astype(dtype), cfg_row, config.huber_delta, optimize_points,
+        interpret=ba_fused.INTERPRET if interpret is None else interpret)
+    cams_f = cams.replace(rot=rot_f, offset=camp_f[:, 3:5], scale=camp_f[:, 0])
+    return BAResult(cams=cams_f, points=p_f.T[:n_tracks], cost=cost_f,
                     initial_cost=init_cost, iterations=iters)
 
 
