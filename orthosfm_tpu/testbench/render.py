@@ -1,13 +1,24 @@
 """Synthetic image rendering for full-pipeline tests.
 
 The reference's full-pipeline tests rely on external image datasets
-(README.md:24-27, not in the repo). To exercise the image→features→matching→
-tracks→poses path hermetically, we render orthographic views of a procedurally
-textured sphere: each pixel's ray (orthographic, along the camera look
-direction) is intersected with the sphere and the 3D hit point is shaded with
-a band-limited random-Fourier 3D texture. Texture is rigid on the surface, so
-local appearance is repeatable across moderate viewpoint changes — the same
-regime as the reference's real/synthetic object datasets.
+(README.md:24-27, not in the repo; named sets Suzanne/Rings/Dragon ×
+Circle/3Lat/3Lat_rotated, full_pipeline_tests.cpp:404-412). To exercise the
+image→features→matching→tracks→poses path hermetically, we ray-trace
+orthographic views of procedurally textured analytic scenes: each pixel's ray
+(orthographic, along the camera look direction) is intersected with the scene
+and the 3D hit point is shaded with a band-limited random-Fourier 3D texture.
+Texture is rigid on the surface, so local appearance is repeatable across
+moderate viewpoint changes — the same regime as the reference's real/synthetic
+object datasets.
+
+Scenes (in rough difficulty order):
+  sphere — single textured sphere: no occlusion, stable silhouette;
+  blob   — union of K random spheres: self-occlusion, concavities, and
+           silhouettes that change per view (counterpart of the reference's
+           organic Suzanne/Dragon sets);
+  cube   — axis-aligned box: flat faces (locally planar → homography-
+           degenerate pairs), sharp depth discontinuities, faces appearing /
+           disappearing across the ring.
 """
 
 from __future__ import annotations
@@ -33,12 +44,179 @@ class FourierTexture3D:
         return 0.5 + 0.35 * np.tanh(1.5 * v)
 
 
-def render_sphere_views(gt_cams: cam_mod.CameraSet, width: int, height: int,
-                        radius: float = 0.75, texture: FourierTexture3D | None = None,
-                        ) -> List[np.ndarray]:
-    """Render each camera's orthographic view of the textured sphere."""
-    import jax.numpy as jnp
+# ---------------------------------------------------------------------------
+# Analytic scenes: intersect(origins (..., 3), d (3,)) →
+# (hit (...,) bool, p_hit (..., 3), normal (..., 3))
 
+
+class SphereScene:
+    def __init__(self, radius: float = 0.75, center=(0.0, 0.0, 0.0)):
+        self.radius = radius
+        self.center = np.asarray(center, np.float64)
+
+    def intersect(self, origins, d):
+        o = origins - self.center
+        b = o @ d
+        c = np.sum(o * o, axis=-1) - self.radius * self.radius
+        disc = b * b - c
+        hit = disc > 0.0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        p = origins + t[..., None] * d
+        n = (p - self.center) / self.radius
+        return hit, p, n
+
+
+class BlobScene:
+    """Union of K spheres — the analytic counterpart of
+    data.synthetic.blob_cloud: self-occluding, concave, view-dependent
+    silhouettes."""
+
+    def __init__(self, n_spheres: int = 6, seed: int = 3, radius: float = 0.8):
+        rng = np.random.default_rng(seed)
+        self.centers = rng.uniform(-0.45, 0.45, (n_spheres, 3))
+        self.centers[0] = 0.0  # keep one anchor sphere at the origin
+        self.radii = rng.uniform(0.45, 0.75, n_spheres) * radius
+
+    def intersect(self, origins, d):
+        t_best = np.full(origins.shape[:-1], np.inf)
+        idx_best = np.full(origins.shape[:-1], -1, np.int32)
+        for i, (c0, r) in enumerate(zip(self.centers, self.radii)):
+            o = origins - c0
+            b = o @ d
+            c = np.sum(o * o, axis=-1) - r * r
+            disc = b * b - c
+            hit_i = disc > 0.0
+            t = -b - np.sqrt(np.maximum(disc, 0.0))
+            closer = hit_i & (t < t_best)
+            t_best = np.where(closer, t, t_best)
+            idx_best = np.where(closer, i, idx_best)
+        hit = idx_best >= 0
+        t = np.where(hit, t_best, 0.0)
+        p = origins + t[..., None] * d
+        centers = np.where(hit[..., None],
+                           self.centers[np.maximum(idx_best, 0)], 0.0)
+        radii = np.where(hit, self.radii[np.maximum(idx_best, 0)], 1.0)
+        n = (p - centers) / radii[..., None]
+        return hit, p, n
+
+
+class CubeScene:
+    """Box via the slab method: flat faces, sharp silhouettes.
+
+    The box is rotated corner-on (45° yaw + ~35.26° tilt) by default so every
+    equatorial view sees 2-3 faces: a single face fills the frame otherwise
+    and a one-plane view is DEGENERATE for orthographic SfM (any small
+    rotation of a plane is absorbed by an affine change of the plane — the
+    bas-relief ambiguity), which no solver can recover from.
+    """
+
+    def __init__(self, half_extent: float = 0.55, corner_on: bool = True):
+        self.h = half_extent
+        if corner_on:
+            cy, sy = np.cos(np.pi / 4), np.sin(np.pi / 4)
+            tilt = np.arctan(1.0 / np.sqrt(2.0))
+            ct, st = np.cos(tilt), np.sin(tilt)
+            yaw = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            pitch = np.array([[1, 0, 0], [0, ct, -st], [0, st, ct]])
+            self.R = pitch @ yaw  # world → cube frame
+        else:
+            self.R = np.eye(3)
+
+    def intersect(self, origins, d):
+        h = self.h
+        o = origins @ self.R.T  # into cube frame
+        dc = self.R @ d
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = np.where(np.abs(dc) > 1e-12, 1.0 / dc, np.inf)
+            t1 = np.where(np.abs(dc) > 1e-12, (-h - o) * inv, 0.0)
+            t2 = np.where(np.abs(dc) > 1e-12, (h - o) * inv, 0.0)
+        tmin_ax = np.minimum(t1, t2)
+        tmax_ax = np.maximum(t1, t2)
+        # Parallel rays: inside the slab → ±inf bounds, outside → miss
+        inside = np.abs(o) <= h
+        parallel = np.abs(dc) <= 1e-12
+        tmin_ax = np.where(parallel, np.where(inside, -np.inf, np.inf), tmin_ax)
+        tmax_ax = np.where(parallel, np.where(inside, np.inf, -np.inf), tmax_ax)
+        t_near = np.max(tmin_ax, axis=-1)
+        t_far = np.min(tmax_ax, axis=-1)
+        hit = t_near <= t_far
+        t = np.where(hit, t_near, 0.0)
+        p = origins + t[..., None] * d
+        # Normal: the axis achieving t_near, rotated back to world frame
+        ax = np.argmax(tmin_ax, axis=-1)
+        nc = np.zeros_like(p)
+        rows = np.indices(ax.shape)
+        nc[(*rows, ax)] = -np.sign(dc[ax])
+        return hit, p, nc @ self.R
+
+
+class CompositeScene:
+    """Union of sub-scenes: nearest hit wins (t recovered as (p − o)·d)."""
+
+    def __init__(self, *scenes):
+        self.scenes = scenes
+
+    def intersect(self, origins, d):
+        t_best = np.full(origins.shape[:-1], np.inf)
+        p_best = np.zeros_like(origins)
+        n_best = np.zeros_like(origins)
+        any_hit = np.zeros(origins.shape[:-1], bool)
+        for sc in self.scenes:
+            hit, p, n = sc.intersect(origins, d)
+            t = np.sum((p - origins) * d, axis=-1)
+            closer = hit & (t < t_best)
+            t_best = np.where(closer, t, t_best)
+            p_best = np.where(closer[..., None], p, p_best)
+            n_best = np.where(closer[..., None], n, n_best)
+            any_hit |= hit
+        return any_hit, p_best, n_best
+
+
+def ornament_cube_scene(half_extent: float = 0.55, bump_radius: float = 0.3):
+    """Corner-on cube with a bump sphere poking out of each face: the flat
+    faces keep the polyhedron's sharp silhouettes and locally-planar patches
+    (homography-degenerate pairs), while the bumps give every view the 3-D
+    relief orthographic SfM needs (a pure plane is bas-relief-ambiguous)."""
+    cube = CubeScene(half_extent=half_extent)
+    blob = BlobScene.__new__(BlobScene)
+    face_centers = half_extent * np.concatenate([np.eye(3), -np.eye(3)], 0)
+    blob.centers = face_centers @ cube.R  # cube frame → world (Rᵀ·c)
+    blob.radii = np.full(6, bump_radius)
+    return CompositeScene(cube, blob)
+
+
+class RingsScene(BlobScene):
+    """Two interlocking rings of small spheres — the hermetic counterpart of
+    the reference's Rings dataset: strongly non-planar, self-occluding, with
+    thin structures and holes."""
+
+    def __init__(self, n_per_ring: int = 14, ring_radius: float = 0.62,
+                 tube_radius: float = 0.21):
+        ang = np.linspace(0, 2 * np.pi, n_per_ring, endpoint=False)
+        ring_a = np.stack([ring_radius * np.cos(ang),
+                           ring_radius * np.sin(ang),
+                           np.zeros_like(ang)], -1)
+        ring_b = np.stack([ring_radius * np.cos(ang) + ring_radius,
+                           np.zeros_like(ang),
+                           ring_radius * np.sin(ang)], -1)
+        ring_b[:, 0] -= ring_radius * 0.5
+        self.centers = np.concatenate([ring_a, ring_b], 0)
+        self.radii = np.full(len(self.centers), tube_radius)
+
+
+SCENES = {
+    "sphere": lambda seed: SphereScene(),
+    "blob": lambda seed: BlobScene(seed=seed + 31),
+    "cube": lambda seed: CubeScene(),
+    "ornament_cube": lambda seed: ornament_cube_scene(),
+    "rings": lambda seed: RingsScene(),
+}
+
+
+def render_views(gt_cams: cam_mod.CameraSet, width: int, height: int,
+                 scene, texture: FourierTexture3D | None = None,
+                 ) -> List[np.ndarray]:
+    """Ray-trace each camera's orthographic view of the scene."""
     texture = texture or FourierTexture3D()
     R_all = np.asarray(cam_mod.basis(gt_cams), np.float64)  # (V, 3, 3)
     o_all = np.einsum("vij,j->vi", R_all, [0.0, 0.0, -cam_mod.CAMERA_DISTANCE])
@@ -58,16 +236,9 @@ def render_sphere_views(gt_cams: cam_mod.CameraSet, width: int, height: int,
         origin = (o_all[v][None, None]
                   + scales[v] * (xn[..., None] * R[:, 0] + yn[..., None] * R[:, 1]))
         d = R[:, 2]  # look direction (unit)
-        # Ray-sphere: |o + t d|² = r² with unit d
-        b = origin @ d
-        c = np.sum(origin * origin, axis=-1) - radius * radius
-        disc = b * b - c
-        hit = disc > 0.0
-        t = -b - np.sqrt(np.maximum(disc, 0.0))
-        p_hit = origin + t[..., None] * d
+        hit, p_hit, normal = scene.intersect(origin, d)
         shade = np.full((height, width), 0.55)
         # Slight lambert-style modulation for silhouette stability
-        normal = p_hit / radius
         lam = 0.75 + 0.25 * np.clip(-(normal @ d), 0.0, 1.0)
         tex = texture(p_hit[hit])
         shade[hit] = tex * lam[hit]
@@ -76,11 +247,23 @@ def render_sphere_views(gt_cams: cam_mod.CameraSet, width: int, height: int,
     return images
 
 
+def render_sphere_views(gt_cams: cam_mod.CameraSet, width: int, height: int,
+                        radius: float = 0.75, texture: FourierTexture3D | None = None,
+                        ) -> List[np.ndarray]:
+    """Back-compat wrapper: single textured sphere."""
+    return render_views(gt_cams, width, height, SphereScene(radius=radius),
+                        texture=texture)
+
+
 def make_image_dataset(folder: str, num_views: int = 8, width: int = 256,
                        height: int = 256, seed: int = 0,
                        theta_range: float = 10.0, roll_range: float = 6.0,
-                       ring_degrees: float = 360.0, radius: float = 0.75):
-    """Write a synthetic textured-sphere image dataset; returns GT cameras."""
+                       ring_degrees: float = 360.0, radius: float = 0.75,
+                       scene: str = "sphere"):
+    """Write a synthetic rendered image dataset; returns GT cameras.
+
+    scene: "sphere" (default), "blob", or "cube" — see module docstring.
+    """
     import os
 
     from PIL import Image
@@ -94,7 +277,11 @@ def make_image_dataset(folder: str, num_views: int = 8, width: int = 256,
     gt = cam_mod.make_euler(np.arange(num_views), width, height, angles=angles)
 
     texture = FourierTexture3D(seed=seed + 17)
-    images = render_sphere_views(gt, width, height, radius=radius, texture=texture)
+    if scene == "sphere":
+        sc = SphereScene(radius=radius)
+    else:
+        sc = SCENES[scene](seed)
+    images = render_views(gt, width, height, sc, texture=texture)
     os.makedirs(folder, exist_ok=True)
     for i, img in enumerate(images):
         Image.fromarray(img).save(os.path.join(folder, f"view_{i:02d}.png"))

@@ -32,6 +32,10 @@ def main(argv=None) -> int:
     p.add_argument("--num-views", type=int, default=8)
     p.add_argument("--width", type=int, default=320,
                    help="generated dataset image size")
+    p.add_argument("--solvers", default="0",
+                   help="comma-separated solver indices or 'all' "
+                        "(reference runs the full matrix, "
+                        "full_pipeline_tests.cpp:414-477)")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 
@@ -62,15 +66,24 @@ def main(argv=None) -> int:
     if args.generate:
         from orthosfm_tpu.testbench import render
 
-        for name, ring in (("SphereCircle", 360.0), ("SphereArc", 120.0)):
+        # Scene × trajectory matrix — the hermetic analog of the reference's
+        # Suzanne/Rings/Dragon × Circle/3Lat/3Lat_rotated sets
+        # (full_pipeline_tests.cpp:404-412). Per-dataset view counts reflect
+        # scene difficulty: thin ring structures need ≤10° spacing and more
+        # pixels to keep neighbouring views matchable.
+        for name, scene, ring, min_views, width in (
+                ("SphereCircle", "sphere", 360.0, 12, args.width),
+                ("BlobCircle", "blob", 360.0, 12, args.width),
+                ("CubeArc", "ornament_cube", 140.0, 0, args.width),
+                ("RingsArc", "rings", 140.0, 16, max(args.width, 384))):
             # A closed ring needs enough views that neighbours still match
             # (≤ ~30° apart); an arc can use the requested count directly.
-            n_views = max(args.num_views, 12) if ring >= 300 else args.num_views
+            n_views = max(args.num_views, min_views)
             ds_dir = os.path.join(args.dataset_folder, name)
             gt = render.make_image_dataset(
                 os.path.join(ds_dir, "images"), num_views=n_views,
-                width=args.width, height=args.width,
-                seed=hash(name) % 1000, ring_degrees=ring)
+                width=width, height=width,
+                seed=hash(name) % 1000, ring_degrees=ring, scene=scene)
             names = [f"view_{i:02d}.png" for i in range(n_views)]
             full_pipeline.write_references(
                 os.path.join(ds_dir, "references.txt"), gt, names)
@@ -79,10 +92,15 @@ def main(argv=None) -> int:
         dataset_names = [d for d in sorted(os.listdir(args.dataset_folder))
                          if os.path.isdir(os.path.join(args.dataset_folder, d))]
 
-    configs = [full_pipeline.RunConfiguration(name="Quaternion", solver=0,
-                                              extra_args=("--platform", "cpu")
-                                              if os.environ.get("ORTHOSFM_TB_CPU")
-                                              else ())]
+    solver_names = {0: "Quaternion", 1: "EulerHorizontal",
+                    2: "EulerHorizontalVertical", 3: "EulerAllDoF"}
+    solver_ids = (list(solver_names) if args.solvers == "all"
+                  else [int(s) for s in args.solvers.split(",")])
+    extra = (("--platform", "cpu")
+             if os.environ.get("ORTHOSFM_TB_CPU") else ())
+    configs = [full_pipeline.RunConfiguration(name=solver_names[s], solver=s,
+                                              extra_args=extra)
+               for s in solver_ids]
     results = full_pipeline.run_full_pipeline_tests(
         args.project_folder, args.dataset_folder, dataset_names, configs,
         repetitions=args.repetitions)

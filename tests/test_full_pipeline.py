@@ -83,6 +83,27 @@ def test_reconstruct_with_masks_and_downscale(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("scene,expect_deg", [("blob", 1.0),
+                                              ("ornament_cube", 1.5)])
+def test_reconstruct_hard_scenes(tmp_path, scene, expect_deg):
+    """End-to-end on the harder rendered scenes: a self-occluding multi-sphere
+    blob and a corner-on cube with face bumps (flat patches + sharp
+    silhouettes). Counterpart of the reference's organic Suzanne/Dragon
+    evaluation sets (full_pipeline_tests.cpp:404-412)."""
+    images = str(tmp_path / "images")
+    proj = str(tmp_path / "project")
+    gt = render.make_image_dataset(images, num_views=5, width=224, height=224,
+                                   seed=4, ring_degrees=100, scene=scene)
+    project_io.create_project(proj)
+    cfg = ReconstructionConfig(project_folder=proj, image_folder=images,
+                               solver=SolverType.ORTHO_QUATERNION)
+    res, views = reconstruct(cfg, verbose=False)
+    assert res.present.all()
+    ang, pos = metrics.pose_errors(res.cameras, gt)
+    assert ang.max() < expect_deg, ang
+
+
+@pytest.mark.slow
 def test_reconstruct_homography_engine(tmp_path):
     """End-to-end with the CudaSift-style homography verification engine
     (pair_verification="homography", reference: matching.cpp:160-215) —
