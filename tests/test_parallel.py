@@ -1,8 +1,11 @@
 """Sharded BA on a virtual 8-device CPU mesh must match single-device BA."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from orthosfm_tpu.core import cameras as cam_mod
 from orthosfm_tpu.core import quaternions as quat
@@ -104,3 +107,62 @@ def test_sharded_tk_bitmatches_single_device():
                                np.asarray(res_1.model1), rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(res_s.model2),
                                np.asarray(res_1.model2), rtol=0, atol=1e-6)
+
+
+_MULTIHOST_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+
+pid = int(sys.argv[1]); port = sys.argv[2]
+from orthosfm_tpu.parallel import mesh as mesh_mod
+mesh = mesh_mod.init_distributed(f"localhost:{port}", 2, pid)
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+from tests.test_parallel import _problem
+from orthosfm_tpu.parallel import ba_sharded
+
+cams, pts, obs, mask = _problem()
+run = ba_sharded.make_sharded_ba(mesh)
+(pts_p, obs_p, mask_p), t = ba_sharded.pad_tracks(
+    [np.asarray(pts), np.asarray(obs), np.asarray(mask)], jax.device_count())
+res = run(cams, pts_p, obs_p, mask_p)
+ratio = float(res.cost) / float(res.initial_cost)
+assert ratio < 1e-3, ratio
+print(f"MULTIHOST_OK_{pid}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_multihost_two_process_cluster(tmp_path):
+    """init_distributed across a real 2-process localhost cluster (Gloo CPU
+    collectives, 4 virtual devices per process = 8 global): the full sharded
+    BA must run and converge identically on both processes. This validates
+    the multi-HOST path (jax.distributed, SURVEY §2.3 DCN story), not just
+    the single-process virtual mesh the other tests use."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "worker.py"
+    worker.write_text(_MULTIHOST_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = root
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i), str(port)],
+                              env=env, cwd=root, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, f"worker {i}:\n{out}"
+    for i in range(2):
+        assert f"MULTIHOST_OK_{i}" in outs[i]

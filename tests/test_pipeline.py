@@ -80,3 +80,37 @@ def test_pose_estimation_synthetic(solver):
     ang, pos = metrics.pose_errors(res.cameras, ds.gt_cameras)
     assert ang.max() < 2.0, ang
     assert pos.max() < 0.05, pos
+
+
+def test_strict_reference_behavior_disables_init_fallback():
+    """config.strict_reference_behavior reproduces the reference's hard-throw
+    (tomasi_kanade.cpp:202-205) when the filtered track set starves a group,
+    instead of falling back to the pristine pre-filter observations."""
+    import dataclasses
+
+    import jax
+
+    from orthosfm_tpu.config import ReconstructionConfig
+    from orthosfm_tpu.data import synthetic
+
+    ds = synthetic.generate_dataset(synthetic.sphere_cloud(400), num_views=4,
+                                    seed=0)
+    pristine = ds.tracks
+    # "Filtered" set: the global reprojection filter stripped almost all
+    # observations of the group views
+    starved = dataclasses.replace(
+        pristine, obs_mask=pristine.obs_mask.at[8:].set(False))
+    ids = [0, 1, 2]
+    kwargs = dict(
+        ids=ids, widths=np.full(3, 2048.0), heights=np.full(3, 2048.0),
+        solver=SolverType.ORTHO_QUATERNION, key=jax.random.key(0),
+        global_cams=None, global_idx_pair=None,
+        fallback_tracks=pristine)
+
+    cfg = ReconstructionConfig(project_folder=".", image_folder=".")
+    cams = incremental.initial_alignment(starved, config=cfg, **kwargs)
+    assert len(cams) == 3  # fallback rescued the group
+
+    strict = dataclasses.replace(cfg, strict_reference_behavior=True)
+    with pytest.raises(incremental.TooFewTracksError):
+        incremental.initial_alignment(starved, config=strict, **kwargs)
