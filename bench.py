@@ -39,7 +39,8 @@ def make_problem(num_views=16, n_points=8192, width=2048.0):
     return cams, ts.points, ts.obs, mask
 
 
-def time_ba(device, cams, points, obs, mask, iters=30, repeats=3):
+def time_ba(device, cams, points, obs, mask, iters=30, repeats=3,
+            impl="auto"):
     """Time `iters` LM iterations of the BA solver on the given device."""
     import jax
 
@@ -47,7 +48,7 @@ def time_ba(device, cams, points, obs, mask, iters=30, repeats=3):
     from orthosfm_tpu.solvers import ba
 
     cfg = BundleAdjustConfig(max_iterations=iters, function_tolerance=0.0,
-                             min_lambda=1e-12)
+                             min_lambda=1e-12, impl=impl)
     args = jax.device_put((cams, points, obs, mask), device)
 
     def run():
@@ -91,11 +92,39 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"cpu baseline failed: {e}", file=sys.stderr)
 
+    # Secondary metrics so a regression in ANY solver path shows up in the
+    # one recorded line: the two-kernel Pallas path, the pure-XLA path, and
+    # the Euler parameterization (auto path).
+    extras = {}
+    for key, kwargs in (
+            ("pallas_iter_per_s", dict(impl="pallas")),
+            ("xla_iter_per_s", dict(impl="xla")),
+    ):
+        try:
+            ips, _ = time_ba(tpu_dev, cams, points, obs, mask, repeats=2,
+                             **kwargs)
+            extras[key] = round(ips, 3)
+        except Exception as e:  # pragma: no cover
+            print(f"{key} failed: {e}", file=sys.stderr)
+    try:
+        from orthosfm_tpu.core import cameras as cam_mod
+
+        e_cams = cam_mod.make_euler(
+            np.arange(len(cams.scale)), 2048.0, 2048.0,
+            angles=np.asarray(cam_mod.basis_to_phi_theta_roll(
+                cam_mod.basis(cams))))
+        e_cams = e_cams.replace(fixed=cams.fixed)
+        ips, _ = time_ba(tpu_dev, e_cams, points, obs, mask, repeats=2)
+        extras["euler_iter_per_s"] = round(ips, 3)
+    except Exception as e:  # pragma: no cover
+        print(f"euler metric failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "ba_iterations_per_s_16cam_8192trk",
         "value": round(tpu_ips, 3),
         "unit": "iter/s",
         "vs_baseline": round(vs_baseline, 3),
+        **extras,
     }))
 
 

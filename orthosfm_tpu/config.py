@@ -98,6 +98,11 @@ class BundleAdjustConfig:
     # Use the fused Pallas normal-equation/point-update kernels on TPU
     # backends (solvers/ba_pallas.py); pure-XLA path elsewhere.
     use_pallas: bool = True
+    # Solver implementation override: "auto" picks the single-kernel fused
+    # LM (ba_fused.py) on TPU when the problem fits VMEM, else the
+    # two-kernel path (ba_pallas.py), else XLA. Explicit values pin a path
+    # (benchmarks, regression comparisons).
+    impl: str = "auto"  # "auto" | "xla" | "pallas" | "fused"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -538,19 +538,22 @@ def run(cams: cam_mod.CameraSet, points4, obs, mask,
     algorithm, optimizePoints, retriangulate) — retriangulation is done by the
     caller (pipeline) before invoking this, as bundle_adjustment.cpp:74-83 does.
     """
-    impl = "xla"
-    if config.use_pallas:
-        try:
-            platform = next(iter(obs.devices())).platform
-        except Exception:
-            platform = jax.default_backend()
-        if platform in ("tpu", "axon"):
-            from orthosfm_tpu.solvers import ba_fused
+    if config.impl != "auto":
+        impl = config.impl
+    else:
+        impl = "xla"
+        if config.use_pallas:
+            try:
+                platform = next(iter(obs.devices())).platform
+            except Exception:
+                platform = jax.default_backend()
+            if platform in ("tpu", "axon"):
+                from orthosfm_tpu.solvers import ba_fused
 
-            T = obs.shape[0]
-            T_fused = -(-T // ba_fused.TILE) * ba_fused.TILE
-            impl = ("fused" if ba_fused.fits(len(cams), T_fused)
-                    else "pallas")
+                T = obs.shape[0]
+                T_fused = -(-T // ba_fused.TILE) * ba_fused.TILE
+                impl = ("fused" if ba_fused.fits(len(cams), T_fused)
+                        else "pallas")
     return _run_jit(cams, points4, obs, mask, optimize_points=optimize_points,
                     config=config, impl=impl)
 
@@ -613,6 +616,7 @@ def _run_fused(cams, pT, obsT, maskT, free_c, optimize_points, config,
     rot_f, camp_f, p_f, cost_f, init_cost, iters = ba_fused.run_lm(
         cams.kind, pT, obsT, maskT.astype(dtype), cams.rot, camp,
         free_c.astype(dtype), cfg_row, config.huber_delta, optimize_points,
+        max_iters=config.max_iterations,
         interpret=ba_fused.INTERPRET if interpret is None else interpret)
     cams_f = cams.replace(rot=rot_f, offset=camp_f[:, 3:5], scale=camp_f[:, 0])
     return BAResult(cams=cams_f, points=p_f.T[:n_tracks], cost=cost_f,

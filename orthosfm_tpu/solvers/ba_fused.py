@@ -69,9 +69,22 @@ INTERPRET = False  # flip for CPU interpreter-mode tests
 # Camera-state helpers in (V, 1)-column form
 
 
+def _col0(x, j):
+    """Column j of x as a lane-offset-0 (rows, 1) value via a one-hot matvec.
+
+    A plain lane slice x[:, j:j+1] keeps lane offset j in its Mosaic layout,
+    and tpu.concatenate requires matching offsets on the non-concat
+    dimension — sublane-concatenating lane slices of different columns fails
+    to lower ("result/input offset mismatch on non-concat dimension")."""
+    k = x.shape[1]
+    e = (jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) == j).astype(x.dtype)
+    return jax.lax.dot_general(x, e, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _quat_cols(rot):
     """Normalized quaternion columns [w, x, y, z], each (V, 1)."""
-    q = [rot[:, i:i + 1] for i in range(4)]
+    q = [_col0(rot, i) for i in range(4)]
     inv_n = jax.lax.rsqrt(jnp.maximum(sum(c * c for c in q), 1e-30))
     return [c * inv_n for c in q]
 
@@ -94,9 +107,9 @@ def _r9_from_quat(q):
 def _euler_S(rot):
     """S[b][a] (V, 1) entries of Rz(φ)·Rx(θ+π/2)·Rz(ρ) plus the raw trig
     values (cph, sph, com, som, crl, srl)."""
-    phi = rot[:, 0:1]
-    theta = rot[:, 1:2]
-    roll = rot[:, 2:3]
+    phi = _col0(rot, 0)
+    theta = _col0(rot, 1)
+    roll = _col0(rot, 2)
     omega = theta + 0.5 * jnp.pi
     cph, sph = jnp.cos(phi), jnp.sin(phi)
     com, som = jnp.cos(omega), jnp.sin(omega)
@@ -146,7 +159,8 @@ def _retract_quat(rot, dcol):
     k = jnp.where(small, 0.5 - a2 / 48.0, jnp.sin(0.5 * angle) / angle)
     aw = jnp.where(small, 1.0 - a2 / 8.0, jnp.cos(0.5 * angle))
     ax, ay, az = k * d[0], k * d[1], k * d[2]
-    bw, bx, by, bz = (rot[:, 0:1], rot[:, 1:2], rot[:, 2:3], rot[:, 3:4])
+    bw, bx, by, bz = (_col0(rot, 0), _col0(rot, 1), _col0(rot, 2),
+                      _col0(rot, 3))
     q = [
         aw * bw - ax * bx - ay * by - az * bz,
         aw * bx + ax * bw + ay * bz - az * by,
@@ -159,8 +173,8 @@ def _retract_quat(rot, dcol):
 
 def _retract_euler(rot, dcol):
     """angles += δ (IdentityParameterization); 4th column untouched."""
-    return jnp.concatenate(
-        [rot[:, k:k + 1] + dcol[k] for k in range(3)] + [rot[:, 3:4]], axis=1)
+    zero = jnp.zeros_like(dcol[0])
+    return rot + jnp.concatenate([dcol[0], dcol[1], dcol[2], zero], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +220,8 @@ def _gauss_jordan(A, n):
                                preferred_element_type=jnp.float32)
 
 
-def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points):
+def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
+                    max_iters):
     n = V * 6
 
     def cam_tensors(rot, camp):
@@ -227,7 +242,6 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points):
         camp_0 = camp_ref[:]
 
         lam_0 = cfg_ref[0, 0]
-        max_iter = cfg_ref[0, 1]
         func_tol = cfg_ref[0, 2]
         lam_up = cfg_ref[0, 3]
         lam_down = cfg_ref[0, 4]
@@ -270,8 +284,15 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points):
         cg = jax.lax.broadcasted_iota(jnp.int32, (n, V), 1)
         diag_nv = ((rg % V) == cg).astype(jnp.float32)
 
-        # free mask in param-major column order (row = a·V + v)
-        fm = jnp.concatenate([free[:, a:a + 1] for a in range(6)], axis=0)
+        # free mask in param-major column order (row = a·V + v); columns are
+        # re-extracted at lane offset 0 (_col0) before the sublane concat
+        fm = jnp.concatenate([_col0(free, a) for a in range(6)], axis=0)
+
+        # Selection matrices extracting per-param (V, 1) columns out of the
+        # param-major (n, 1) solution: sel[a][v, r] = (r == a·V + v)
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (V, n), 1)
+        vsel = jax.lax.broadcasted_iota(jnp.int32, (V, n), 0)
+        sel = [(rsel == vsel + a * V).astype(jnp.float32) for a in range(6)]
 
         def lm_step(rot, camp, p4, lam):
             """One LM trial step: returns (rot', camp', p4', new_cost)."""
@@ -327,15 +348,20 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points):
                                  rhs * inv_d], axis=1)
             delta = _gauss_jordan(A, n) * inv_d * fm  # (n, 1) param-major
 
-            dcol = [delta[a * V:(a + 1) * V] for a in range(6)]  # (V, 1) each
+            # Per-param (V, 1) columns at lane offset 0 (selection matvecs —
+            # sublane slices of delta would carry unconcatenatable offsets)
+            dot_nv = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dcol = [dot_nv(sel[a], delta) for a in range(6)]  # (V, 1) each
 
-            # Retract cameras
+            # Retract cameras: camp layout is [scale, w, h, offx, offy, 0·3]
             rot_new = (_retract_quat(rot, dcol) if kind == "quat"
                        else _retract_euler(rot, dcol))
-            camp_new = jnp.concatenate(
-                [camp[:, 0:1] + dcol[5], camp[:, 1:3],
-                 camp[:, 3:4] + dcol[3], camp[:, 4:5] + dcol[4],
-                 camp[:, 5:8]], axis=1)
+            zc = jnp.zeros_like(dcol[0])
+            camp_new = camp + jnp.concatenate(
+                [dcol[5], zc, zc, dcol[3], dcol[4], zc, zc, zc], axis=1)
             r9n, _ = cam_tensors(rot_new, camp_new)
 
             # Point back-substitution δp = V̂⁻¹(g_p − Wᵀδc), retraction, and
@@ -382,11 +408,10 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points):
         r9_0, _ = cam_tensors(rot_0, camp_0)
         init_cost = cost_of(r9_0, camp_0, p4_0)[0, 0]
 
-        def cond(state):
-            _, _, _, _, _, it, done = state
-            return jnp.logical_not(done) & (it < max_iter)
-
-        def body(state):
+        # Static-bound fori with a cond-guarded body (converged iterations
+        # cost ~nothing) — Mosaic's supported loop shape; a lax.while_loop
+        # with a data-dependent cond hung on-device here.
+        def step(state):
             rot, camp, p4, lam, cost, it, done = state
             rot_n, camp_n, p4_n, nc = lm_step(rot, camp, p4, lam)
             new_cost = nc[0, 0]
@@ -400,12 +425,15 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points):
             lam = jnp.where(accept, jnp.maximum(lam * lam_down, min_lam),
                             jnp.minimum(lam * lam_up, max_lam))
             done_n = done_n | (jnp.logical_not(accept) & (lam >= max_lam))
-            return (rot, camp, p4, lam, cost, it + 1, done_n)
+            return (rot, camp, p4, lam, cost, it + 1.0, done_n)
+
+        def body(_, state):
+            return jax.lax.cond(state[6], lambda s: s, step, state)
 
         state = (rot_0, camp_0, p4_0, lam_0, init_cost,
                  jnp.zeros((), jnp.float32), jnp.zeros((), jnp.bool_))
-        rot_f, camp_f, p4_f, _, cost_f, iters, _ = jax.lax.while_loop(
-            cond, body, state)
+        rot_f, camp_f, p4_f, _, cost_f, iters, _ = jax.lax.fori_loop(
+            0, max_iters, body, state)
 
         rot_out[:] = rot_f
         camp_out[:] = camp_f
@@ -430,15 +458,17 @@ def fits(V: int, T: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "huber_delta",
-                                             "optimize_points", "interpret"))
+                                             "optimize_points", "max_iters",
+                                             "interpret"))
 def run_lm(kind, pT, obsT, maskT, rot, camp, free, cfg_row, huber_delta,
-           optimize_points, interpret=False):
+           optimize_points, max_iters=100, interpret=False):
     """Run the whole LM loop in one fused kernel.
 
     pT (4, T) unit homogeneous points (T % TILE == 0); obsT (V, 2, T);
     maskT (V, T) float; rot (V, 4) quaternions or padded Euler angles;
     camp (V, 8) packed [scale, w, h, offx, offy, 0, 0, 0]; free (V, 6) float;
-    cfg_row (1, 8) = [λ₀, max_iter, func_tol, λ_up, λ_down, λ_min, λ_max, 0].
+    cfg_row (1, 8) = [λ₀, unused, func_tol, λ_up, λ_down, λ_min, λ_max, 0];
+    max_iters: static LM iteration bound (the in-kernel loop is a fori).
 
     Returns (rot' (V, 4), camp' (V, 8), p4' (4, T), cost, init_cost, iters).
     """
@@ -449,7 +479,7 @@ def run_lm(kind, pT, obsT, maskT, rot, camp, free, cfg_row, huber_delta,
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     rot_f, camp_f, p4_f, stats = pl.pallas_call(
         _make_lm_kernel(kind, V, T // TILE, float(huber_delta),
-                        bool(optimize_points)),
+                        bool(optimize_points), int(max_iters)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
                  [vmem() for _ in range(6)],
         out_specs=[vmem(), vmem(), vmem(),
