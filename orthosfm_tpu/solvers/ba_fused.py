@@ -327,8 +327,17 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
                           jnp.concatenate([Wc[a][q] for a in range(6)],
                                           axis=0))
                     for q in range(3))
-                rhs2 = rhs2 + dot_t(jnp.concatenate(WVi_rows, axis=1),
-                                    jnp.concatenate(g_p, axis=1))
+                # (n, 3·TILE)·(1, 3·TILE) row-vector contraction lowers to a
+                # vector.multi_reduction whose accumulator Mosaic requires to
+                # be constant — fused with the running rhs2 it is not. Do the
+                # broadcasted multiply on the VPU and reduce via a true MXU
+                # matmul against a constant ones column instead.
+                prod = (jnp.concatenate(WVi_rows, axis=1) *
+                        jnp.concatenate(g_p, axis=1))
+                ones_col = jnp.ones((3 * TILE, 1), jnp.float32)
+                rhs2 = rhs2 + jax.lax.dot_general(
+                    prod, ones_col, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
             # Reduced camera system in param-major order
             dU = jnp.sum(U_pm * eye_nn, axis=1, keepdims=True)  # (n, 1)
@@ -450,11 +459,11 @@ def fits(V: int, T: int) -> bool:
     (VMEM residency + static-unroll budget)."""
     if T % TILE != 0 or T // TILE > MAX_TILES:
         return False
-    # persistent: obs 2V·T + mask V·T + 3 point buffers 12·T; tile temps
-    # ~45 (V, TILE) arrays; 4 bytes each — stay under ~12 MB of ~16 MB VMEM
-    persistent = (3 * V + 12) * T * 4
-    temps = 48 * V * TILE * 4
-    return persistent + temps < 12 * 1024 * 1024
+    # Empirical scoped-VMEM footprint (compiler-reported): ~26.1 MB at
+    # V=16, T=8192 ⇒ ≈ 3 MB fixed + ~2.9 KB·(V/16)·T. The pallas_call
+    # raises the scoped cap to 100 MB (v5e has 128 MB); gate at 80 MB.
+    est = 3 * 1024 * 1024 + int(2.9 * 1024 * (V / 16.0) * T)
+    return est < 80 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "huber_delta",
@@ -490,6 +499,12 @@ def run_lm(kind, pT, obsT, maskT, rot, camp, free, cfg_row, huber_delta,
             jax.ShapeDtypeStruct((4, T), jnp.float32),
             jax.ShapeDtypeStruct((1, 4), jnp.float32),
         ],
+        # The whole-solve working set is scoped-stack-resident; the default
+        # 16 MB scoped-VMEM cap rejects ≥8k-track problems (26 MB observed
+        # at V=16, T=8192). v5e has 128 MB VMEM — raise the cap and let
+        # fits() be the real gate.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cfg_row, pT, obs2, maskT, rot, camp, free)
     return (rot_f, camp_f, p4_f, stats[0, 0], stats[0, 1],
