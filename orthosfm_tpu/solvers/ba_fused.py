@@ -221,7 +221,16 @@ def _gauss_jordan(A, n):
 
 
 def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
-                    max_iters):
+                    max_iters, ablate=frozenset()):
+    """ablate: profiling-only switch set (see scripts/ablate_ba_fused.py).
+
+    Members strip phases from the compiled kernel so their cost can be
+    measured by difference: "gj" (skip the dense solve), "pass1" (skip the
+    normal-equation tile loop), "pass2_blocks" (skip the back-substitution
+    block recompute), "pass2" (skip the whole second tile pass). Any
+    non-empty set also forces accept=True/done=False so every iteration
+    does full work — results are WRONG, only timings are meaningful.
+    """
     n = V * 6
 
     def cam_tensors(rot, camp):
@@ -302,7 +311,7 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
             U_pm = jnp.zeros((n, n), jnp.float32)
             g_pm = jnp.zeros((n, V), jnp.float32)
             rhs2 = jnp.zeros((n, 1), jnp.float32)
-            for t in range(n_tiles):
+            for t in range(0 if "pass1" in ablate else n_tiles):
                 r, wgt, Jc, Jp, _ = bp._tile_blocks(
                     kind, tile(p4, t), tile(obs, t), tile(m, t), r9, ds27,
                     camp, free, huber_delta)
@@ -355,7 +364,10 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
             inv_d = 1.0 / d
             A = jnp.concatenate([S * inv_d * _row_of_col(inv_d),
                                  rhs * inv_d], axis=1)
-            delta = _gauss_jordan(A, n) * inv_d * fm  # (n, 1) param-major
+            if "gj" in ablate:
+                delta = rhs * inv_d * inv_d * fm  # Jacobi step (timing only)
+            else:
+                delta = _gauss_jordan(A, n) * inv_d * fm  # (n, 1) param-major
 
             # Per-param (V, 1) columns at lane offset 0 (selection matvecs —
             # sublane slices of delta would carry unconcatenatable offsets)
@@ -377,11 +389,11 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
             # the new robust cost — one more pass over tiles.
             new_cost = jnp.zeros((1, 1), jnp.float32)
             p_tiles = []
-            for t in range(n_tiles):
+            for t in range(0 if "pass2" in ablate else n_tiles):
                 p4_t = tile(p4, t)
                 mt = tile(m, t)
                 obs_t = tile(obs, t)
-                if optimize_points:
+                if optimize_points and "pass2_blocks" not in ablate:
                     r, wgt, Jc, Jp, B = bp._tile_blocks(
                         kind, p4_t, obs_t, mt, r9, ds27, camp, free,
                         huber_delta)
@@ -411,7 +423,7 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
                     s2 <= d2, s2,
                     2.0 * huber_delta * jnp.sqrt(jnp.maximum(s2, 1e-20)) - d2)
                 new_cost = new_cost + jnp.sum(mt * rho).reshape(1, 1)
-            p4_new = jnp.concatenate(p_tiles, axis=1)
+            p4_new = (jnp.concatenate(p_tiles, axis=1) if p_tiles else p4)
             return rot_new, camp_new, p4_new, 0.5 * new_cost
 
         r9_0, _ = cam_tensors(rot_0, camp_0)
@@ -425,6 +437,9 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
             rot_n, camp_n, p4_n, nc = lm_step(rot, camp, p4, lam)
             new_cost = nc[0, 0]
             accept = new_cost < cost
+            if ablate:  # timing-only mode: always do full work every iter
+                accept = jnp.asarray(True)
+                new_cost = cost * 0.999
             rot = jnp.where(accept, rot_n, rot)
             camp = jnp.where(accept, camp_n, camp)
             p4 = jnp.where(accept, p4_n, p4)
@@ -468,9 +483,10 @@ def fits(V: int, T: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("kind", "huber_delta",
                                              "optimize_points", "max_iters",
-                                             "interpret"))
+                                             "interpret", "ablate"))
 def run_lm(kind, pT, obsT, maskT, rot, camp, free, cfg_row, huber_delta,
-           optimize_points, max_iters=100, interpret=False):
+           optimize_points, max_iters=100, interpret=False,
+           ablate=frozenset()):
     """Run the whole LM loop in one fused kernel.
 
     pT (4, T) unit homogeneous points (T % TILE == 0); obsT (V, 2, T);
@@ -488,7 +504,7 @@ def run_lm(kind, pT, obsT, maskT, rot, camp, free, cfg_row, huber_delta,
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     rot_f, camp_f, p4_f, stats = pl.pallas_call(
         _make_lm_kernel(kind, V, T // TILE, float(huber_delta),
-                        bool(optimize_points), int(max_iters)),
+                        bool(optimize_points), int(max_iters), ablate),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
                  [vmem() for _ in range(6)],
         out_specs=[vmem(), vmem(), vmem(),
