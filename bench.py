@@ -8,6 +8,18 @@ the speedup over the same solver on host CPU — the reference implementation is
 CPU-only (Ceres SPARSE_SCHUR + OpenMP), so TPU/CPU throughput is the
 apples-to-apples "beat the reference's platform" ratio (BASELINE.md north
 star: >5x CPU pipeline throughput).
+
+Methodology (round 4): throughput is measured PIPELINED — `calls` back-to-back
+ba.run dispatches with ONE final block_until_ready — because the attached TPU
+runtime imposes a ~25-45 ms completion-sync floor on ANY non-trivial program
+(measured: a single jitted 1024² matmul syncs in ~25 ms; a 100-call async
+chain of the same program completes in ~77 ms total). Per-solve sync timing
+therefore measures the host runtime's floor, not the solver: it caps a
+30-iteration solve at ≤1200 it/s no matter how fast the kernel is. Production
+pipelines dispatch many device programs between syncs, so pipelined
+throughput is the number that transfers. Both are reported:
+`value`/`*_iter_per_s` are pipelined; `synced_single_call_iter_per_s` and
+`sync_floor_ms` record the old methodology and the measured floor.
 """
 
 import json
@@ -40,8 +52,12 @@ def make_problem(num_views=16, n_points=8192, width=2048.0):
 
 
 def time_ba(device, cams, points, obs, mask, iters=30, repeats=3,
-            impl="auto"):
-    """Time `iters` LM iterations of the BA solver on the given device."""
+            impl="auto", calls=10):
+    """Time `iters` LM iterations of the BA solver on the given device.
+
+    Dispatches `calls` solves back-to-back and blocks once at the end
+    (pipelined — see module docstring); returns (iterations/s, n_iters,
+    synced_single_call_iterations/s)."""
     import jax
 
     from orthosfm_tpu.config import BundleAdjustConfig
@@ -52,18 +68,25 @@ def time_ba(device, cams, points, obs, mask, iters=30, repeats=3,
     args = jax.device_put((cams, points, obs, mask), device)
 
     def run():
-        res = ba.run(*args, optimize_points=True, config=cfg)
-        jax.block_until_ready(res.cost)
-        return res
+        return ba.run(*args, optimize_points=True, config=cfg)
 
     res = run()  # compile + warmup
+    jax.block_until_ready(res.cost)
     n_iters = int(res.iterations)
+
+    best_sync = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run().cost)
+        best_sync = min(best_sync, time.perf_counter() - t0)
+
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        res = run()
+        results = [run() for _ in range(calls)]
+        jax.block_until_ready([r.cost for r in results])
         best = min(best, time.perf_counter() - t0)
-    return n_iters / best, int(res.iterations)
+    return n_iters * calls / best, n_iters, n_iters / best_sync
 
 
 def main():
@@ -82,12 +105,13 @@ def main():
 
     cams, points, obs, mask = make_problem()
 
-    tpu_ips, n_iters = time_ba(tpu_dev, cams, points, obs, mask)
+    tpu_ips, n_iters, tpu_sync_ips = time_ba(tpu_dev, cams, points, obs, mask)
 
     vs_baseline = 1.0
     if cpu_dev is not None and cpu_dev.platform != tpu_dev.platform:
         try:
-            cpu_ips, _ = time_ba(cpu_dev, cams, points, obs, mask, repeats=1)
+            cpu_ips, _, _ = time_ba(cpu_dev, cams, points, obs, mask,
+                                    repeats=1, calls=2)
             vs_baseline = tpu_ips / cpu_ips
         except Exception as e:  # pragma: no cover
             print(f"cpu baseline failed: {e}", file=sys.stderr)
@@ -95,14 +119,15 @@ def main():
     # Secondary metrics so a regression in ANY solver path shows up in the
     # one recorded line: the two-kernel Pallas path, the pure-XLA path, and
     # the Euler parameterization (auto path).
-    extras = {}
+    extras = {"synced_single_call_iter_per_s": round(tpu_sync_ips, 3),
+              "sync_floor_ms": round(_sync_floor_ms(), 2)}
     for key, kwargs in (
             ("pallas_iter_per_s", dict(impl="pallas")),
             ("xla_iter_per_s", dict(impl="xla")),
     ):
         try:
-            ips, _ = time_ba(tpu_dev, cams, points, obs, mask, repeats=2,
-                             **kwargs)
+            ips, _, _ = time_ba(tpu_dev, cams, points, obs, mask, repeats=2,
+                                **kwargs)
             extras[key] = round(ips, 3)
         except Exception as e:  # pragma: no cover
             print(f"{key} failed: {e}", file=sys.stderr)
@@ -114,7 +139,7 @@ def main():
             angles=np.asarray(cam_mod.basis_to_phi_theta_roll(
                 cam_mod.basis(cams))))
         e_cams = e_cams.replace(fixed=cams.fixed)
-        ips, _ = time_ba(tpu_dev, e_cams, points, obs, mask, repeats=2)
+        ips, _, _ = time_ba(tpu_dev, e_cams, points, obs, mask, repeats=2)
         extras["euler_iter_per_s"] = round(ips, 3)
     except Exception as e:  # pragma: no cover
         print(f"euler metric failed: {e}", file=sys.stderr)
@@ -126,6 +151,23 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         **extras,
     }))
+
+
+def _sync_floor_ms(n=5):
+    """Measured per-sync completion floor of this runtime in its steady
+    (post-big-program) state: best of n trivial jitted-op round trips."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 128))
+    f = jax.jit(lambda x: x * 2.0 + 1.0)
+    jax.block_until_ready(f(x))
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
 
 
 if __name__ == "__main__":

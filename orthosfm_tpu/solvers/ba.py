@@ -554,6 +554,20 @@ def run(cams: cam_mod.CameraSet, points4, obs, mask,
                 T_fused = -(-T // ba_fused.TILE) * ba_fused.TILE
                 impl = ("fused" if ba_fused.fits(len(cams), T_fused)
                         else "pallas")
+    if impl == "fused" and config.impl == "auto":
+        # fits() is an estimate; if the megakernel still exceeds the
+        # compiler's VMEM cap (trace/compile raises synchronously on first
+        # call), degrade to the two-kernel per-iteration path.
+        try:
+            return _run_jit(cams, points4, obs, mask,
+                            optimize_points=optimize_points, config=config,
+                            impl="fused")
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            import warnings
+
+            warnings.warn(f"fused BA path failed to compile ({e!r}); "
+                          "falling back to the two-kernel path")
+            impl = "pallas"
     return _run_jit(cams, points4, obs, mask, optimize_points=optimize_points,
                     config=config, impl=impl)
 

@@ -11,9 +11,14 @@ manifold retractions, point back-substitution, robust-cost evaluation and the
 LM accept/reject/λ schedule — lives in VMEM inside one kernel, so the fixed
 costs are paid once per BA *run* instead of twice per *iteration*.
 
-Fits-in-VMEM condition: all live tensors are O((3V+12)·T) floats (obs, mask,
-two point buffers, per-tile temporaries); the host wrapper gates on a
-conservative budget and ba.py falls back to the two-kernel path beyond it.
+Fits-in-VMEM condition: fits() gates on an empirical footprint model —
+~3 MB fixed + ~2.9 KB·(V/16)·T for the track-linear terms (compiler-reported
+26.1 MB at V=16, T=8192) plus a 12·(6V)²·4 B quadratic term for the live
+(6V, 6V) reduced-system arrays (Grams, Schur, Gauss-Jordan augmented matrix)
+that dominate at large V. The budget is generation-aware (~80 MB on ≥v4
+hardware where the pallas_call raises the scoped cap to 100 MB, ~12 MB on
+v2/v3 with their 16 MB VMEM); ba.run additionally wraps fused compilation in
+a runtime fallback to the two-kernel path in case the model under-estimates.
 
 Design notes (Mosaic-proofing, same rules as ba_pallas.py):
   - every tensor is 2-D; small structural axes are Python-unrolled;
@@ -469,16 +474,33 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
     return kernel
 
 
+def _vmem_budget_bytes() -> int:
+    """Scoped-VMEM budget for fits(), by TPU generation. v2/v3 cores have
+    16 MB VMEM (the 100 MB scoped cap the pallas_call requests is only valid
+    on ≥v4 with 128 MB); unknown/virtual platforms get the conservative
+    small budget."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 12 * 1024 * 1024
+    if "v2" in kind or "v3" in kind:
+        return 12 * 1024 * 1024
+    return 80 * 1024 * 1024
+
+
 def fits(V: int, T: int) -> bool:
     """Whether the fused single-kernel path handles this problem size
     (VMEM residency + static-unroll budget)."""
     if T % TILE != 0 or T // TILE > MAX_TILES:
         return False
     # Empirical scoped-VMEM footprint (compiler-reported): ~26.1 MB at
-    # V=16, T=8192 ⇒ ≈ 3 MB fixed + ~2.9 KB·(V/16)·T. The pallas_call
-    # raises the scoped cap to 100 MB (v5e has 128 MB); gate at 80 MB.
-    est = 3 * 1024 * 1024 + int(2.9 * 1024 * (V / 16.0) * T)
-    return est < 80 * 1024 * 1024
+    # V=16, T=8192 ⇒ ≈ 3 MB fixed + ~2.9 KB·(V/16)·T, plus the live
+    # (6V, 6V) reduced-camera-system arrays (~12 concurrently: Grams,
+    # Schur, masks, Gauss-Jordan augmented matrix) which grow
+    # quadratically in V and dominate for many-view problems.
+    est = (3 * 1024 * 1024 + int(2.9 * 1024 * (V / 16.0) * T)
+           + 12 * (6 * V) * (6 * V) * 4)
+    return est < _vmem_budget_bytes()
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "huber_delta",
@@ -517,10 +539,13 @@ def run_lm(kind, pT, obsT, maskT, rot, camp, free, cfg_row, huber_delta,
         ],
         # The whole-solve working set is scoped-stack-resident; the default
         # 16 MB scoped-VMEM cap rejects ≥8k-track problems (26 MB observed
-        # at V=16, T=8192). v5e has 128 MB VMEM — raise the cap and let
-        # fits() be the real gate.
+        # at V=16, T=8192). ≥v4 hardware has 128 MB VMEM — raise the cap
+        # there and let fits() be the real gate; on 16 MB generations keep
+        # the default cap (fits() already restricts to a 12 MB budget).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=(100 * 1024 * 1024
+                              if _vmem_budget_bytes() >= 80 * 1024 * 1024
+                              else 16 * 1024 * 1024)),
         interpret=interpret,
     )(cfg_row, pT, obs2, maskT, rot, camp, free)
     return (rot_f, camp_f, p4_f, stats[0, 0], stats[0, 1],

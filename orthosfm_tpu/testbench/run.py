@@ -80,10 +80,15 @@ def main(argv=None) -> int:
             # (≤ ~30° apart); an arc can use the requested count directly.
             n_views = max(args.num_views, min_views)
             ds_dir = os.path.join(args.dataset_folder, name)
+            # Fixed per-name seed: Python salts str.hash per process, so
+            # hash(name) made every testbench run render DIFFERENT datasets.
+            # The reference pins every seed for exactly this reason
+            # (src/matching/matching_mve.cpp:55-56).
+            seed = sum(name.encode()) % 1000
             gt = render.make_image_dataset(
                 os.path.join(ds_dir, "images"), num_views=n_views,
                 width=width, height=width,
-                seed=hash(name) % 1000, ring_degrees=ring, scene=scene)
+                seed=seed, ring_degrees=ring, scene=scene)
             names = [f"view_{i:02d}.png" for i in range(n_views)]
             full_pipeline.write_references(
                 os.path.join(ds_dir, "references.txt"), gt, names)
