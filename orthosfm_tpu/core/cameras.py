@@ -317,6 +317,18 @@ def free_mask(cams: CameraSet):
     return mask & ~cams.fixed[:, None]
 
 
+def active_param_slots(cams: CameraSet) -> tuple:
+    """Tangent slots whose free_mask base can be True for SOME camera —
+    statically known from (kind, solver). The remaining slots are constant
+    for every camera (Ceres never adds constant parameter blocks to the
+    Schur system); solvers exclude them from the reduced camera system."""
+    if cams.kind == "quat":
+        return (0, 1, 2, 3, 4)
+    dof = SolverType(cams.solver).degrees_of_freedom
+    return tuple(i for i, on in enumerate(
+        [dof >= 1, dof >= 2, dof >= 3, dof >= 4, dof >= 4, dof >= 5]) if on)
+
+
 def retract(cams: CameraSet, delta):
     """Apply a tangent step delta (V, 6) → new CameraSet.
 

@@ -5,12 +5,16 @@ TPU-native analog of the reference testbench fixtures
 22.5°-spaced ring with random theta/roll ∈ ±30°, perfect tracks built by
 projecting a point cloud through the ground-truth cameras.
 
-The reference ships Cube/Sphere/Suzanne PLY vertex clouds as resources; we
-generate comparable clouds procedurally (cube surface grid, Fibonacci sphere,
-and a blobby "monkey-ish" union of spheres) so no data files are needed.
+The reference ships Cube/Sphere/Suzanne PLY vertex clouds as resources
+(dataset_generation.cpp:95-137); when that resource directory is mounted the
+named clouds load the ACTUAL reference vertices so sweep results are directly
+comparable. Procedural stand-ins (cube surface grid, Fibonacci sphere, a
+blobby union of spheres) are the fallback so no data files are required.
 """
 
 from __future__ import annotations
+
+import os
 
 import flax.struct
 import jax
@@ -71,7 +75,41 @@ def blob_cloud(n: int = 7800, seed: int = 7) -> np.ndarray:
     return centers[which] + radii[which][:, None] * dirs
 
 
-CLOUDS = {"Cube": cube_cloud, "Sphere": sphere_cloud, "Blob": blob_cloud}
+#: Directory with the reference's shipped PLY vertex clouds
+#: (reference: src/testbench/dataset_generation.cpp:95-137 loads
+#: resources/{Cube,Sphere,Suzanne}.ply as the sweep fixtures).
+REFERENCE_RESOURCE_DIR = os.environ.get("ORTHOSFM_REFERENCE_RESOURCES",
+                                        "/root/reference/resources")
+
+
+def reference_cloud(name: str):
+    """Vertex cloud loaded from the reference's PLY fixture, or None when the
+    resource directory isn't mounted. Using the actual Cube/Sphere/Suzanne
+    vertices makes the noise-sweep results directly comparable to the
+    reference testbench's."""
+    path = os.path.join(REFERENCE_RESOURCE_DIR, f"{name}.ply")
+    if not os.path.exists(path):
+        return None
+    from orthosfm_tpu.io import ply
+
+    pts = ply.load_vertices(path)
+    return pts if len(pts) else None
+
+
+def _cloud_with_reference_fallback(name: str, procedural):
+    def make():
+        pts = reference_cloud(name)
+        return pts if pts is not None else procedural()
+
+    return make
+
+
+CLOUDS = {
+    "Cube": _cloud_with_reference_fallback("Cube", cube_cloud),
+    "Sphere": _cloud_with_reference_fallback("Sphere", sphere_cloud),
+    "Blob": blob_cloud,
+    "Suzanne": _cloud_with_reference_fallback("Suzanne", blob_cloud),
+}
 
 
 def generate_gt_cameras(

@@ -146,6 +146,20 @@ def align_to_global(local: cam_mod.CameraSet, global_cams: cam_mod.CameraSet,
     return cam_mod.apply_rotation(local, R)
 
 
+def group_full_size_counts(tracks: tracks_mod.TrackSet, groups, col_of):
+    """Per-group count of full-size tracks, fetched in ONE host readback.
+
+    The incremental loop needs these counts to gate the too-few-tracks error
+    and the pristine-init fallback; fetching them per group costs one
+    ~25 ms host sync each on the tunnel-attached runtime. They only change
+    when the global filters mutate obs_mask/alive, so the driver refreshes
+    this vector after each filter event instead."""
+    cols = np.asarray([[col_of[v] for v in ids] for ids in groups])  # (G, S)
+    m = tracks.alive[:, None] & jnp.all(
+        tracks.obs_mask[:, jnp.asarray(cols)], axis=2)  # (T, G)
+    return np.asarray(jnp.sum(m, axis=0))
+
+
 def initial_alignment(tracks: tracks_mod.TrackSet, ids, widths, heights,
                       solver: SolverType, key,
                       global_cams: Optional[cam_mod.CameraSet],
@@ -153,7 +167,9 @@ def initial_alignment(tracks: tracks_mod.TrackSet, ids, widths, heights,
                       config: ReconstructionConfig,
                       fallback_tracks: Optional[tracks_mod.TrackSet] = None,
                       verbose: bool = False,
-                      runners: Optional[MeshRunners] = None) -> cam_mod.CameraSet:
+                      runners: Optional[MeshRunners] = None,
+                      n_valid: Optional[int] = None,
+                      n_valid_fb: Optional[int] = None) -> cam_mod.CameraSet:
     """calculateInitialAlignment analog (reference:
     OrthoQuaternionRecoAlgorithm.cpp:23-50 / Orthographic...cpp:36-63).
 
@@ -171,20 +187,23 @@ def initial_alignment(tracks: tracks_mod.TrackSet, ids, widths, heights,
     cols = _cols_for(tracks, ids)
     obs = tracks.obs[:, cols, :]
     valid = tracks_mod.full_size_mask(tracks, cols)
-    n_valid = int(jnp.sum(valid))
+    if n_valid is None:  # not precomputed by the caller → one host readback
+        n_valid = int(jnp.sum(valid))
     min_tracks = max(10, config.ransac.sample_size)
     if config.strict_reference_behavior:
         fallback_tracks = None
     if n_valid < min_tracks and fallback_tracks is not None:
         cols_fb = _cols_for(fallback_tracks, ids)
         valid_fb = tracks_mod.full_size_mask(fallback_tracks, cols_fb)
-        if int(jnp.sum(valid_fb)) > n_valid:
+        if n_valid_fb is None:
+            n_valid_fb = int(jnp.sum(valid_fb))
+        if n_valid_fb > n_valid:
             if verbose:
                 print(f"  group {list(ids)}: only {n_valid} filtered full-size "
                       "tracks; initializing from the unfiltered observations")
             obs = fallback_tracks.obs[:, cols_fb, :]
             valid = valid_fb
-            n_valid = int(jnp.sum(valid_fb))
+            n_valid = n_valid_fb
     if n_valid < min_tracks:
         raise TooFewTracksError(
             f"group {list(ids)}: only {n_valid} full-size tracks (<{min_tracks})")
@@ -199,7 +218,8 @@ def initial_alignment(tracks: tracks_mod.TrackSet, ids, widths, heights,
     else:
         gdir = _global_direction(global_cams, *global_idx_pair)
         model = tk.resolve_ambiguity(res.model1, res.model2, gdir)
-    return _make_group_cameras(np.asarray(model), ids, widths, heights, solver)
+    # model stays on device — from_basis consumes it lazily (no host sync)
+    return _make_group_cameras(model, ids, widths, heights, solver)
 
 
 def _local_ba(local_cams, tracks, cols, config, runners):
@@ -271,6 +291,13 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
     insertion_order: List[int] = []
     col_of = {int(v): i for i, v in enumerate(view_ids)}
 
+    # Per-group full-size-track counts, one readback for ALL groups instead
+    # of one ~25 ms sync per group; refreshed after global filter events
+    # (the only mutations of obs_mask/alive). The pristine set never mutates
+    # so its counts are fetched lazily at most once.
+    group_counts = group_full_size_counts(tracks, groups, col_of)
+    pristine_counts = None
+
     for gi, ids in enumerate(groups):
         processed = gi + 1
         if verbose:
@@ -278,17 +305,27 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
         cols = _cols_for(tracks, ids)
         key, k_init = jax.random.split(key)
 
+        n_valid = int(group_counts[gi])
+        min_tracks = max(10, config.ransac.sample_size)
+        if n_valid < min_tracks and pristine_counts is None \
+                and not config.strict_reference_behavior:
+            pristine_counts = group_full_size_counts(pristine_tracks, groups,
+                                                     col_of)
+        n_valid_fb = (int(pristine_counts[gi])
+                      if pristine_counts is not None else None)
         if present.any():
             pair = (col_of[ids[0]], col_of[ids[1]])
             local_cams = initial_alignment(tracks, ids, widths[cols], heights[cols],
                                            solver, k_init, global_cams, pair, config,
                                            fallback_tracks=pristine_tracks,
-                                           verbose=verbose, runners=runners)
+                                           verbose=verbose, runners=runners,
+                                           n_valid=n_valid, n_valid_fb=n_valid_fb)
         else:
             local_cams = initial_alignment(tracks, ids, widths[cols], heights[cols],
                                            solver, k_init, None, None, config,
                                            fallback_tracks=pristine_tracks,
-                                           verbose=verbose, runners=runners)
+                                           verbose=verbose, runners=runners,
+                                           n_valid=n_valid, n_valid_fb=n_valid_fb)
 
         # Reprojection outlier filter on the LOCAL track copy (reconstruct.cpp:212)
         local_tracks = outliers.filter_tracks_reprojection_error(
@@ -342,6 +379,8 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
                 pres_cams = cam_mod.take(global_cams, _cols_for(tracks, pres_ids))
                 tracks = outliers.filter_tracks_reprojection_error(
                     tracks, pres_cams, _cols_for(tracks, pres_ids), config.filters)
+                # obs_mask/alive changed → refresh the per-group counts
+                group_counts = group_full_size_counts(tracks, groups, col_of)
 
             global_cams = _normalize_global(global_cams, col_of[insertion_order[0]])
             if verbose:

@@ -631,7 +631,8 @@ def _run_fused(cams, pT, obsT, maskT, free_c, optimize_points, config,
         cams.kind, pT, obsT, maskT.astype(dtype), cams.rot, camp,
         free_c.astype(dtype), cfg_row, config.huber_delta, optimize_points,
         max_iters=config.max_iterations,
-        interpret=ba_fused.INTERPRET if interpret is None else interpret)
+        interpret=ba_fused.INTERPRET if interpret is None else interpret,
+        active=cam_mod.active_param_slots(cams))
     cams_f = cams.replace(rot=rot_f, offset=camp_f[:, 3:5], scale=camp_f[:, 0])
     return BAResult(cams=cams_f, points=p_f.T[:n_tracks], cost=cost_f,
                     initial_cost=init_cost, iterations=iters)

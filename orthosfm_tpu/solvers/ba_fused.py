@@ -226,7 +226,8 @@ def _gauss_jordan(A, n):
 
 
 def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
-                    max_iters, ablate=frozenset()):
+                    max_iters, ablate=frozenset(),
+                    active=(0, 1, 2, 3, 4, 5)):
     """ablate: profiling-only switch set (see scripts/ablate_ba_fused.py).
 
     Members strip phases from the compiled kernel so their cost can be
@@ -235,8 +236,16 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
     block recompute), "pass2" (skip the whole second tile pass). Any
     non-empty set also forces accept=True/done=False so every iteration
     does full work — results are WRONG, only timings are meaningful.
+
+    active: statically-free tangent param slots (cameras.active_param_slots).
+    Slots whose free-mask base is False for EVERY camera (offsets/scale under
+    the solver's dof map) are excluded from the reduced camera system — the
+    analog of Ceres never adding constant parameter blocks to the Schur
+    eliminated system. Shrinks the Grams, the Schur cross term and the
+    Gauss-Jordan chain from 6V to len(active)·V rows.
     """
-    n = V * 6
+    P = len(active)
+    n = V * P
 
     def cam_tensors(rot, camp):
         if kind == "quat":
@@ -288,8 +297,8 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
             preferred_element_type=jnp.float32)
 
         # Same-view masks for extracting blkdiag(U) / diag(g) from the
-        # param-major Grams (rows a·V+v; cross-view Gram entries mix
-        # unrelated residuals and are discarded).
+        # param-major Grams (rows i·V+v for i over `active`; cross-view Gram
+        # entries mix unrelated residuals and are discarded).
         ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         same_view_nn = ((ri % V) == (ci % V)).astype(jnp.float32)
@@ -298,15 +307,15 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
         cg = jax.lax.broadcasted_iota(jnp.int32, (n, V), 1)
         diag_nv = ((rg % V) == cg).astype(jnp.float32)
 
-        # free mask in param-major column order (row = a·V + v); columns are
+        # free mask in param-major column order (row = i·V + v); columns are
         # re-extracted at lane offset 0 (_col0) before the sublane concat
-        fm = jnp.concatenate([_col0(free, a) for a in range(6)], axis=0)
+        fm = jnp.concatenate([_col0(free, a) for a in active], axis=0)
 
         # Selection matrices extracting per-param (V, 1) columns out of the
-        # param-major (n, 1) solution: sel[a][v, r] = (r == a·V + v)
+        # param-major (n, 1) solution: sel[i][v, r] = (r == i·V + v)
         rsel = jax.lax.broadcasted_iota(jnp.int32, (V, n), 1)
         vsel = jax.lax.broadcasted_iota(jnp.int32, (V, n), 0)
-        sel = [(rsel == vsel + a * V).astype(jnp.float32) for a in range(6)]
+        sel = [(rsel == vsel + i * V).astype(jnp.float32) for i in range(P)]
 
         def lm_step(rot, camp, p4, lam):
             """One LM trial step: returns (rot', camp', p4', new_cost)."""
@@ -322,23 +331,26 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
                     camp, free, huber_delta)
                 Jpw, V_inv = bp._point_block_inv(Jp, wgt, lam,
                                                  optimize_points)
-                Jcw, Wc = bp._couplings(Jc, Jp, wgt)
-                WVi = [[sum(Wc[a][p] * V_inv[p][q] for p in range(3))
-                        for q in range(3)] for a in range(6)]
+                # Couplings only for the statically-free param slots
+                Jcw = [[Jc[k][a] * wgt for a in active] for k in range(2)]
+                Wc = [[Jcw[0][i] * Jp[0][q] + Jcw[1][i] * Jp[1][q]
+                       for q in range(3)] for i in range(P)]
+                WVi = [[sum(Wc[i][p] * V_inv[p][q] for p in range(3))
+                        for q in range(3)] for i in range(P)]
                 sqw = jnp.sqrt(wgt)
                 Zc = jnp.concatenate(
-                    [jnp.concatenate([Jc[k][a] * sqw for a in range(6)],
+                    [jnp.concatenate([Jc[k][a] * sqw for a in active],
                                      axis=0) for k in range(2)], axis=1)
                 Zr = jnp.concatenate([r[0] * sqw, r[1] * sqw], axis=1)
                 U_pm = U_pm + dot_t(Zc, Zc)
                 g_pm = g_pm + dot_t(Zc, Zr)
                 g_p = [-jnp.sum(Jpw[0][q] * r[0] + Jpw[1][q] * r[1],
                                 axis=0, keepdims=True) for q in range(3)]
-                WVi_rows = [jnp.concatenate([WVi[a][q] for a in range(6)],
+                WVi_rows = [jnp.concatenate([WVi[i][q] for i in range(P)],
                                             axis=0) for q in range(3)]
                 S_pm = S_pm + sum(
                     dot_t(WVi_rows[q],
-                          jnp.concatenate([Wc[a][q] for a in range(6)],
+                          jnp.concatenate([Wc[i][q] for i in range(P)],
                                           axis=0))
                     for q in range(3))
                 # (n, 3·TILE)·(1, 3·TILE) row-vector contraction lowers to a
@@ -375,12 +387,15 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
                 delta = _gauss_jordan(A, n) * inv_d * fm  # (n, 1) param-major
 
             # Per-param (V, 1) columns at lane offset 0 (selection matvecs —
-            # sublane slices of delta would carry unconcatenatable offsets)
+            # sublane slices of delta would carry unconcatenatable offsets);
+            # statically-fixed slots get a zero step.
             dot_nv = functools.partial(
                 jax.lax.dot_general,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            dcol = [dot_nv(sel[a], delta) for a in range(6)]  # (V, 1) each
+            zero_col = jnp.zeros((V, 1), jnp.float32)
+            dcol = [dot_nv(sel[active.index(a)], delta) if a in active
+                    else zero_col for a in range(6)]  # (V, 1) each
 
             # Retract cameras: camp layout is [scale, w, h, offx, offy, 0·3]
             rot_new = (_retract_quat(rot, dcol) if kind == "quat"
@@ -403,11 +418,12 @@ def _make_lm_kernel(kind, V, n_tiles, huber_delta, optimize_points,
                         kind, p4_t, obs_t, mt, r9, ds27, camp, free,
                         huber_delta)
                     Jpw, V_inv = bp._point_block_inv(Jp, wgt, lam, True)
-                    _, Wc = bp._couplings(Jc, Jp, wgt)
+                    Wc = [[(Jc[0][a] * Jp[0][q] + Jc[1][a] * Jp[1][q]) * wgt
+                           for q in range(3)] for a in active]
                     g_p = [-jnp.sum(Jpw[0][q] * r[0] + Jpw[1][q] * r[1],
                                     axis=0, keepdims=True) for q in range(3)]
                     tmp = [g_p[q] - jnp.sum(
-                        sum(Wc[a][q] * dcol[a] for a in range(6)),
+                        sum(Wc[i][q] * dcol[a] for i, a in enumerate(active)),
                         axis=0, keepdims=True) for q in range(3)]
                     dp = [sum(V_inv[q][p] * tmp[p] for p in range(3))
                           for q in range(3)]
@@ -505,28 +521,30 @@ def fits(V: int, T: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("kind", "huber_delta",
                                              "optimize_points", "max_iters",
-                                             "interpret", "ablate"))
+                                             "interpret", "ablate", "active"))
 def run_lm(kind, pT, obsT, maskT, rot, camp, free, cfg_row, huber_delta,
            optimize_points, max_iters=100, interpret=False,
-           ablate=frozenset()):
+           ablate=frozenset(), active=(0, 1, 2, 3, 4, 5)):
     """Run the whole LM loop in one fused kernel.
 
     pT (4, T) unit homogeneous points (T % TILE == 0); obsT (V, 2, T);
     maskT (V, T) float; rot (V, 4) quaternions or padded Euler angles;
     camp (V, 8) packed [scale, w, h, offx, offy, 0, 0, 0]; free (V, 6) float;
     cfg_row (1, 8) = [λ₀, unused, func_tol, λ_up, λ_down, λ_min, λ_max, 0];
-    max_iters: static LM iteration bound (the in-kernel loop is a fori).
+    max_iters: static LM iteration bound (the in-kernel loop is a fori);
+    active: statically-free tangent slots (cameras.active_param_slots) — the
+    runtime `free` mask must be zero outside them.
 
     Returns (rot' (V, 4), camp' (V, 8), p4' (4, T), cost, init_cost, iters).
     """
     V = obsT.shape[0]
     T = obsT.shape[2]
-    n = V * 6
     obs2 = jnp.transpose(obsT, (1, 0, 2)).reshape(2 * V, T)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     rot_f, camp_f, p4_f, stats = pl.pallas_call(
         _make_lm_kernel(kind, V, T // TILE, float(huber_delta),
-                        bool(optimize_points), int(max_iters), ablate),
+                        bool(optimize_points), int(max_iters), ablate,
+                        tuple(active)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
                  [vmem() for _ in range(6)],
         out_specs=[vmem(), vmem(), vmem(),

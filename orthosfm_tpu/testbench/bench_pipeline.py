@@ -84,8 +84,17 @@ def run_benchmark(num_views: int = 16, width: int = 512, seed: int = 7,
         if compare_cpu and jax.default_backend() != "cpu":
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
+                if warmup:
+                    # Same treatment as the TPU run: one warmup pass absorbs
+                    # JAX compilation so the recorded ratio compares steady
+                    # states, not TPU-warm vs CPU-cold.
+                    _run_once(images, gt, solver)
                 cpu_out = _run_once(images, gt, solver)
             out["cpu_total_s"] = cpu_out["total_s"]
+            # NB: the baseline is THIS code on the host CPU backend (the
+            # reference implementation is CPU-only, but this is not the
+            # reference's C++ — see BASELINE.md).
+            out["cpu_baseline"] = "same-code-on-jax-cpu-backend"
             out["vs_cpu_throughput"] = round(
                 cpu_out["total_s"] / out["total_s"], 3)
         return out
@@ -109,8 +118,22 @@ def main(argv=None) -> int:
     print(line)
     if args.json:
         os.makedirs(os.path.dirname(args.json) or ".", exist_ok=True)
+        # Keep one row per (views, width) config so e.g. the 512² and the
+        # reference-scale 2048² records coexist in docs/bench_details.json.
+        rows = {}
+        if os.path.exists(args.json):
+            with open(args.json) as f:
+                try:
+                    prev = json.load(f)
+                except ValueError:
+                    prev = {}
+            rows = prev if isinstance(prev, dict) and "runs" in prev else (
+                {"runs": {f"{prev.get('num_views')}x{prev.get('width')}": prev}}
+                if prev else {"runs": {}})
+        rows.setdefault("runs", {})[f"{args.views}x{args.width}"] = out
         with open(args.json, "w") as f:
-            f.write(line + "\n")
+            json.dump(rows, f, indent=1)
+            f.write("\n")
     return 0
 
 

@@ -1,8 +1,9 @@
 """Synthetic robustness testbench: pose accuracy vs observation noise.
 
-Reproduces src/testbench/synthethic_tests.cpp:14-265: procedurally generated
-16-view datasets (Cube/Sphere/Blob clouds — the reference ships
-Cube/Sphere/Suzanne PLYs), a sweep of Gaussian observation noise σ ∈ [0, max]
+Reproduces src/testbench/synthethic_tests.cpp:14-265: 16-view datasets built
+from the reference's own Cube/Sphere/Suzanne PLY vertex clouds (loaded via
+data.synthetic.reference_cloud; procedural stand-ins when the resources
+aren't mounted), a sweep of Gaussian observation noise σ ∈ [0, max]
 applied to track features, both algorithm families run IN-PROCESS through
 run_pose_estimation, and per-(algorithm, noise) mean/std of the per-camera
 quaternion angular distance to ground truth with mirror-flip handling
@@ -36,7 +37,7 @@ class SweepEntry:
 
 
 def run_noise_sweep(
-    datasets: Sequence[str] = ("Cube", "Sphere", "Blob"),
+    datasets: Sequence[str] = ("Cube", "Sphere", "Suzanne"),
     solvers: Sequence[SolverType] = (SolverType.ORTHO_QUATERNION,
                                      SolverType.ORTHO_EULER_ALL_DOF),
     noise_levels: Sequence[float] = tuple(np.linspace(0.0, 100.0, 101)),

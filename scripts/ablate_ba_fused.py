@@ -59,10 +59,13 @@ def main():
 
     times = {}
     for name, ab in variants:
+        active = cam_mod.active_param_slots(cams)
+
         def run():
             out = ba_fused.run_lm(cams.kind, pT, obsT, maskT, rot, camp,
                                   free, cfg_row, cfg.huber_delta, True,
-                                  max_iters=args.iters, ablate=ab)
+                                  max_iters=args.iters, ablate=ab,
+                                  active=active)
             jax.block_until_ready(out[0])
             return out
 

@@ -31,7 +31,7 @@ def test_synthetic_roundtrip_triangulation():
     ts = triangulate.triangulate_tracks(cams, ds.tracks, cols, reset_existing=True)
     assert bool(jnp.all(ts.has_point == ts.alive))
     pts = np.asarray(ts.points[np.asarray(ts.alive)])[:, :3]
-    cloud = synthetic.sphere_cloud() / 3.0
+    cloud = synthetic.CLOUDS["Sphere"]() / 3.0
     np.testing.assert_allclose(pts, cloud, atol=5e-3)
 
 
