@@ -195,9 +195,39 @@ def to_feature_lists(tracks: TrackSet):
 # Mask-algebra equivalents of the reference's track filtering
 
 
+_HOST_VIEW_ID_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore
+
+
+def host_view_ids(view_ids) -> np.ndarray:
+    """view_ids as a host numpy array, cached per device buffer.
+
+    view_ids is immutable structural metadata read by host-side helpers on
+    every pipeline step; fetching it from the device each time costs a
+    queue-draining ~25 ms sync on the tunnel-attached runtime (it was the
+    single largest pose-estimation cost before this cache)."""
+    global _HOST_VIEW_ID_CACHE
+    if isinstance(view_ids, np.ndarray):
+        return view_ids
+    if _HOST_VIEW_ID_CACHE is None:
+        import weakref
+
+        _HOST_VIEW_ID_CACHE = weakref.WeakKeyDictionary()
+    try:
+        cached = _HOST_VIEW_ID_CACHE.get(view_ids)
+    except TypeError:  # unhashable/non-weakref-able (tracers)
+        return np.asarray(view_ids)
+    if cached is None:
+        cached = np.asarray(view_ids)
+        try:
+            _HOST_VIEW_ID_CACHE[view_ids] = cached
+        except TypeError:
+            pass
+    return cached
+
+
 def columns_for_view_ids(tracks: TrackSet, ids):
     """Map a list of view ids to column indices (host-side helper)."""
-    vids = np.asarray(tracks.view_ids)
+    vids = host_view_ids(tracks.view_ids)
     lookup = {int(v): i for i, v in enumerate(vids)}
     return np.asarray([lookup[int(i)] for i in ids], np.int32)
 

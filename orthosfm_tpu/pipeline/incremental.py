@@ -237,11 +237,11 @@ def _local_ba(local_cams, tracks, cols, config, runners):
 def _global_ba(global_cams, present, tracks, config, runners):
     """Global bundle adjustment over all present cameras; optimizes and writes
     back point positions (reference: reconstruct.cpp:261, 281)."""
-    cols = _cols_for(tracks, np.asarray(global_cams.view_ids)[present])
+    cols = _cols_for(tracks, tracks_mod.host_view_ids(global_cams.view_ids)[present])
     present_cols = jnp.zeros((tracks.num_views,), bool).at[jnp.asarray(cols)].set(True)
     # Absent cameras are frozen so the full-capacity camera set is solvable
     cams = global_cams.replace(fixed=global_cams.fixed | ~jnp.asarray(present))
-    all_cols = _cols_for(tracks, np.asarray(global_cams.view_ids))
+    all_cols = _cols_for(tracks, tracks_mod.host_view_ids(global_cams.view_ids))
     mask = (tracks.obs_mask[:, all_cols] & present_cols[None, all_cols]
             & tracks.alive[:, None] & tracks.has_point[:, None])
     res = runners.ba_run(cams, tracks.points, tracks.obs[:, jnp.asarray(all_cols)],
@@ -267,7 +267,7 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
     hypotheses partitioned over the mesh, collectives over ICI."""
     runners = MeshRunners(mesh)
     solver = config.solver
-    view_ids = np.asarray(tracks.view_ids)
+    view_ids = tracks_mod.host_view_ids(tracks.view_ids)
     V = len(view_ids)
     widths = np.broadcast_to(np.asarray(widths, np.float32), (V,))
     heights = np.broadcast_to(np.asarray(heights, np.float32), (V,))
@@ -413,7 +413,7 @@ def _set_camera(dst: cam_mod.CameraSet, dst_idx: int, src: cam_mod.CameraSet,
 
 
 def _triangulate_global(global_cams, present, tracks):
-    ids = np.asarray(global_cams.view_ids)[present]
+    ids = tracks_mod.host_view_ids(global_cams.view_ids)[present]
     cols = _cols_for(tracks, ids)
     pres_cams = cam_mod.take(global_cams, cols)
     return triangulate.triangulate_tracks(pres_cams, tracks, cols, reset_existing=True)

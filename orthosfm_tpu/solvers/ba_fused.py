@@ -1,15 +1,15 @@
 """Single-kernel fused LM bundle adjustment: the ENTIRE Levenberg–Marquardt
 while-loop runs inside ONE Pallas TPU kernel.
 
-Why: on this TPU runtime every device-loop step carries a ~26 µs fixed cost
-and every pallas_call/operand-staging step a ~130-250 µs fixed cost
-(measured; see docs/SCALING.md round-3 ablation). The two-kernel path
-(ba_pallas.py) pays 2 pallas calls + an XLA 6V×6V solve + retraction glue per
-LM iteration ≈ 870 µs of which <200 µs is real compute. Here the whole solve
-loop — normal equations, Schur reduction, the dense reduced camera solve,
-manifold retractions, point back-substitution, robust-cost evaluation and the
-LM accept/reject/λ schedule — lives in VMEM inside one kernel, so the fixed
-costs are paid once per BA *run* instead of twice per *iteration*.
+Why: one kernel per BA *run* instead of several programs per *iteration*
+keeps the whole solve loop — normal equations, Schur reduction, the dense
+reduced camera solve, manifold retractions, point back-substitution,
+robust-cost evaluation and the LM accept/reject/λ schedule — resident in
+VMEM with zero per-iteration dispatch. Measured per-phase costs are in
+docs/SCALING.md ("Round-4 fused-kernel ablation", produced by
+scripts/ablate_ba_fused.py): ~102 µs marginal per LM iteration at
+16 cams / 8192 tracks, vs ~141 µs for the two-kernel path
+(ba_pallas.py) measured pipelined.
 
 Fits-in-VMEM condition: fits() gates on an empirical footprint model —
 ~3 MB fixed + ~2.9 KB·(V/16)·T for the track-linear terms (compiler-reported
@@ -29,14 +29,15 @@ Design notes (Mosaic-proofing, same rules as ba_pallas.py):
     two-kernel path does on the host is never needed because the solve is
     order-invariant and δc is consumed as per-param (V, 1) column slices;
   - the dense solve is Gauss-Jordan elimination on the augmented
-    [S_scaled | rhs_scaled] matrix: each of the 6V steps extracts the pivot
-    row/column with one-hot matvecs (MXU) and applies a rank-1 update (VPU)
-    — no dynamic indexing, no transposes;
+    [S_scaled | rhs_scaled] matrix: each of the len(active)·V steps extracts
+    the pivot row/column with one-hot matvecs (MXU) and applies a rank-1
+    update (VPU) — no dynamic indexing, no transposes;
   - column→row transposes use the eye-mask-and-reduce trick
     (sum(eye·col, axis=0)) instead of jnp.transpose;
-  - the LM loop is a lax.while_loop whose carry holds the full camera state
-    and the (4, T) point buffer as *values*; tolerances are read from SMEM
-    before the loop so the cond stays pure.
+  - the LM loop is a static-bound lax.fori_loop with a cond-guarded body
+    (converged iterations cost ~nothing) whose carry holds the full camera
+    state and the (4, T) point buffer as *values*; tolerances are read from
+    SMEM before the loop so the guard stays pure.
 
 Camera-state math transcribed to (V, 1)-column form in-kernel:
   - quaternion → R (quaternions.to_matrix), exp-map retraction q ← exp(δ)⊗q

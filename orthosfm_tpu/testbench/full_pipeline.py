@@ -172,7 +172,10 @@ def run_full_pipeline_tests(
                 if verbose:
                     print("Running:", " ".join(cmd))
                 try:
-                    subprocess.run(cmd, check=True, capture_output=not verbose)
+                    # timeout: a wedged device tunnel must fail the run (and
+                    # be recorded as such), not hang the whole matrix
+                    subprocess.run(cmd, check=True, capture_output=not verbose,
+                                   timeout=1800)
                     a, p, rt, pt = evaluate_run(proj, references)
                     angular += a
                     position += p
