@@ -8,6 +8,8 @@ observation mask instead of list surgery.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -55,6 +57,13 @@ def nearest_neighbor_distances(pts, has_pt):
 
 def filter_outlier_tracks(tracks: tracks_mod.TrackSet,
                           cfg: FilterConfig = FilterConfig()) -> tracks_mod.TrackSet:
+    out = _filter_outlier_tracks_jit(tracks, cfg=cfg)
+    return out.replace(view_ids=tracks.view_ids)  # keep host-cached buffer
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _filter_outlier_tracks_jit(tracks: tracks_mod.TrackSet,
+                          cfg: FilterConfig = FilterConfig()) -> tracks_mod.TrackSet:
     """Drop triangulated tracks whose nearest-neighbour distance exceeds
     mean + 1.6·σ, or that lie outside the radius-10 bounding sphere; tracks
     without points are always kept (reference: outlier_filtering.cpp:40-125).
@@ -82,6 +91,17 @@ def filter_outlier_tracks(tracks: tracks_mod.TrackSet,
 
 
 def filter_tracks_reprojection_error(
+    tracks: tracks_mod.TrackSet,
+    cams: cam_mod.CameraSet,
+    cam_cols,
+    cfg: FilterConfig = FilterConfig(),
+) -> tracks_mod.TrackSet:
+    out = _filter_reproj_jit(tracks, cams, cam_cols, cfg=cfg)
+    return out.replace(view_ids=tracks.view_ids)  # keep host-cached buffer
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _filter_reproj_jit(
     tracks: tracks_mod.TrackSet,
     cams: cam_mod.CameraSet,
     cam_cols,

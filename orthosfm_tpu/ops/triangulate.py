@@ -9,6 +9,8 @@ instead of a parallel-for with per-track Eigen SVDs.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +42,21 @@ def intersect_rays(origins, directions, mask):
 
 
 def triangulate_tracks(
+    cams: cam_mod.CameraSet,
+    tracks: tracks_mod.TrackSet,
+    cam_cols,
+    reset_existing: bool = True,
+) -> tracks_mod.TrackSet:
+    out = _triangulate_tracks_jit(cams, tracks, cam_cols,
+                                  reset_existing=reset_existing)
+    # keep the input's view_ids buffer: host-side helpers cache the numpy
+    # mirror per device buffer (tracks_mod.host_view_ids), and a jit output
+    # would be a fresh buffer -> one ~25 ms readback per downstream call
+    return out.replace(view_ids=tracks.view_ids)
+
+
+@functools.partial(jax.jit, static_argnames=("reset_existing",))
+def _triangulate_tracks_jit(
     cams: cam_mod.CameraSet,
     tracks: tracks_mod.TrackSet,
     cam_cols,

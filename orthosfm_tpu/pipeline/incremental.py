@@ -16,6 +16,7 @@ sequential, data-dependent); each numeric stage is a jitted program.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional
 
 import jax
@@ -97,13 +98,27 @@ def _cols_for(tracks: tracks_mod.TrackSet, ids):
     return tracks_mod.columns_for_view_ids(tracks, ids)
 
 
+# Jitted wrappers for the per-group glue: outside jit every jnp op dispatches
+# its own device program; at ~14 groups x dozens of ops the eager chains
+# dominated pose-estimation wall time (round-4 stage profile).
+_normalize_to_cam_jit = jax.jit(cam_mod.normalize_scene_to_camera)
+_take_jit = jax.jit(cam_mod.take)
+_resolve_ambiguity_jit = jax.jit(tk.resolve_ambiguity)
+
+
+@functools.partial(jax.jit, static_argnames=("solver",))
+def _from_basis_jit(model, ids, widths, heights, solver):
+    return cam_mod.from_basis(model, ids, widths, heights, solver)
+
+
 def _make_group_cameras(model, ids, widths, heights, solver) -> cam_mod.CameraSet:
-    return cam_mod.from_basis(model, np.asarray(ids, np.int32),
-                              np.asarray(widths, np.float32),
-                              np.asarray(heights, np.float32), solver)
+    return _from_basis_jit(model, np.asarray(ids, np.int32),
+                           np.asarray(widths, np.float32),
+                           np.asarray(heights, np.float32), solver)
 
 
-def _global_direction(global_cams: cam_mod.CameraSet, i0: int, i1: int):
+@jax.jit
+def _global_direction(global_cams: cam_mod.CameraSet, i0, i1):
     """normalize(origin₁) − normalize(origin₀) after rotating the scene so
     camera i0 has identity basis (reference: tomasi_kanade.cpp:411-419)."""
     R = cam_mod.basis(global_cams)
@@ -114,6 +129,8 @@ def _global_direction(global_cams: cam_mod.CameraSet, i0: int, i1: int):
     return on[i1] - on[i0]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("overlap_local_idx", "overlap_global_idx"))
 def align_to_global(local: cam_mod.CameraSet, global_cams: cam_mod.CameraSet,
                     overlap_local_idx, overlap_global_idx) -> cam_mod.CameraSet:
     """Transform the local group into the global frame.
@@ -217,7 +234,7 @@ def initial_alignment(tracks: tracks_mod.TrackSet, ids, widths, heights,
         model = res.model1
     else:
         gdir = _global_direction(global_cams, *global_idx_pair)
-        model = tk.resolve_ambiguity(res.model1, res.model2, gdir)
+        model = _resolve_ambiguity_jit(res.model1, res.model2, gdir)
     # model stays on device — from_basis consumes it lazily (no host sync)
     return _make_group_cameras(model, ids, widths, heights, solver)
 
@@ -234,14 +251,14 @@ def _local_ba(local_cams, tracks, cols, config, runners):
     return res.cams, res
 
 
-def _global_ba(global_cams, present, tracks, config, runners):
+def _global_ba(global_cams, present, tracks, config, runners, view_ids_np):
     """Global bundle adjustment over all present cameras; optimizes and writes
     back point positions (reference: reconstruct.cpp:261, 281)."""
-    cols = _cols_for(tracks, tracks_mod.host_view_ids(global_cams.view_ids)[present])
+    cols = _cols_for(tracks, view_ids_np[present])
     present_cols = jnp.zeros((tracks.num_views,), bool).at[jnp.asarray(cols)].set(True)
     # Absent cameras are frozen so the full-capacity camera set is solvable
     cams = global_cams.replace(fixed=global_cams.fixed | ~jnp.asarray(present))
-    all_cols = _cols_for(tracks, tracks_mod.host_view_ids(global_cams.view_ids))
+    all_cols = _cols_for(tracks, view_ids_np)
     mask = (tracks.obs_mask[:, all_cols] & present_cols[None, all_cols]
             & tracks.alive[:, None] & tracks.has_point[:, None])
     res = runners.ba_run(cams, tracks.points, tracks.obs[:, jnp.asarray(all_cols)],
@@ -344,13 +361,13 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
             print(cam_mod.format_cameras(local_cams))
 
         if first_group:
-            local_cams = cam_mod.normalize_scene(local_cams)
+            local_cams = _normalize_to_cam_jit(local_cams, 0)
             for j, vid in enumerate(ids):
                 c = col_of[vid]
                 global_cams = _set_camera(global_cams, c, local_cams, j)
                 present[c] = True
                 insertion_order.append(vid)
-            tracks = _triangulate_global(global_cams, present, tracks)
+            tracks = _triangulate_global(global_cams, present, tracks, view_ids)
         else:
             overlap_local = [j for j, vid in enumerate(ids) if present[col_of[vid]]]
             overlap_global = [col_of[ids[j]] for j in overlap_local]
@@ -358,7 +375,8 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
                 print(f"  warning: {len(overlap_local)} overlapping cameras "
                       f"(expected {config.group_size - 1})")
             local_cams = align_to_global(local_cams, global_cams,
-                                         overlap_local, overlap_global)
+                                         tuple(overlap_local),
+                                         tuple(overlap_global))
             # mergeIntoGlobal: only cameras not yet present are added
             for j, vid in enumerate(ids):
                 c = col_of[vid]
@@ -366,17 +384,18 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
                     global_cams = _set_camera(global_cams, c, local_cams, j)
                     present[c] = True
                     insertion_order.append(vid)
-            tracks = _triangulate_global(global_cams, present, tracks)
+            tracks = _triangulate_global(global_cams, present, tracks, view_ids)
 
             if processed % config.global_ba_interval == 0:
                 global_cams, tracks, res = _global_ba(global_cams, present,
-                                                      tracks, config, runners)
+                                                      tracks, config, runners,
+                                                      view_ids)
                 if verbose:
                     print(f"  global BA: cost {float(res.initial_cost):.1f} -> "
                           f"{float(res.cost):.1f} in {int(res.iterations)} iters")
                 tracks = outliers.filter_outlier_tracks(tracks, config.filters)
                 pres_ids = view_ids[present]
-                pres_cams = cam_mod.take(global_cams, _cols_for(tracks, pres_ids))
+                pres_cams = _take_jit(global_cams, _cols_for(tracks, pres_ids))
                 tracks = outliers.filter_tracks_reprojection_error(
                     tracks, pres_cams, _cols_for(tracks, pres_ids), config.filters)
                 # obs_mask/alive changed → refresh the per-group counts
@@ -389,7 +408,7 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
 
     # Final global BA + normalize (reconstruct.cpp:281-282)
     global_cams, tracks, res = _global_ba(global_cams, present, tracks, config,
-                                          runners)
+                                          runners, view_ids)
     if verbose:
         print(f"final BA: cost {float(res.initial_cost):.1f} -> {float(res.cost):.1f} "
               f"in {int(res.iterations)} iters")
@@ -402,8 +421,9 @@ def run_pose_estimation(tracks: tracks_mod.TrackSet, widths, heights,
                                 insertion_order=insertion_order, tracks=tracks)
 
 
-def _set_camera(dst: cam_mod.CameraSet, dst_idx: int, src: cam_mod.CameraSet,
-                src_idx: int) -> cam_mod.CameraSet:
+@jax.jit
+def _set_camera(dst: cam_mod.CameraSet, dst_idx, src: cam_mod.CameraSet,
+                src_idx) -> cam_mod.CameraSet:
     return dst.replace(
         rot=dst.rot.at[dst_idx].set(src.rot[src_idx]),
         offset=dst.offset.at[dst_idx].set(src.offset[src_idx]),
@@ -412,12 +432,12 @@ def _set_camera(dst: cam_mod.CameraSet, dst_idx: int, src: cam_mod.CameraSet,
     )
 
 
-def _triangulate_global(global_cams, present, tracks):
-    ids = tracks_mod.host_view_ids(global_cams.view_ids)[present]
+def _triangulate_global(global_cams, present, tracks, view_ids_np):
+    ids = view_ids_np[present]
     cols = _cols_for(tracks, ids)
-    pres_cams = cam_mod.take(global_cams, cols)
+    pres_cams = _take_jit(global_cams, cols)
     return triangulate.triangulate_tracks(pres_cams, tracks, cols, reset_existing=True)
 
 
 def _normalize_global(global_cams, target_col):
-    return cam_mod.normalize_scene_to_camera(global_cams, target_col)
+    return _normalize_to_cam_jit(global_cams, target_col)
