@@ -86,14 +86,21 @@ def reference_cloud(name: str):
     """Vertex cloud loaded from the reference's PLY fixture, or None when the
     resource directory isn't mounted. Using the actual Cube/Sphere/Suzanne
     vertices makes the noise-sweep results directly comparable to the
-    reference testbench's."""
+    reference testbench's.
+
+    Clouds are rescaled to max-norm 1 so their image-plane footprint matches
+    the procedural fixtures: the raw PLYs are ~0.25-0.4 units in extent,
+    which under the same px-noise sweep makes noise relatively ~3x stronger
+    — an artifact of arbitrary model units, not of the solvers."""
     path = os.path.join(REFERENCE_RESOURCE_DIR, f"{name}.ply")
     if not os.path.exists(path):
         return None
     from orthosfm_tpu.io import ply
 
     pts = ply.load_vertices(path)
-    return pts if len(pts) else None
+    if not len(pts):
+        return None
+    return pts / np.max(np.linalg.norm(pts, axis=1))
 
 
 def _cloud_with_reference_fallback(name: str, procedural):

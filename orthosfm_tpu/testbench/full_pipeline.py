@@ -145,9 +145,19 @@ def run_full_pipeline_tests(
     repetitions: int = 5,
     executable: Optional[Sequence[str]] = None,
     verbose: bool = True,
+    in_process: bool = False,
 ) -> List[FullPipelineResult]:
-    """Run the app as a subprocess per (dataset, config, repetition)
-    (full_pipeline_tests.cpp:479-537) and aggregate results."""
+    """Run the app per (dataset, config, repetition)
+    (full_pipeline_tests.cpp:479-537) and aggregate results.
+
+    in_process=True invokes orthosfm_tpu.app.main() in this interpreter
+    instead of a subprocess: identical CLI arguments and on-disk artifacts
+    (cameras.txt / time_measurements.txt are still written and read back),
+    but jit traces are shared across the whole matrix. A fresh process pays
+    ~3-6 minutes re-tracing every program of the pipeline even with a warm
+    on-disk executable cache, which at 80 runs dwarfs the actual compute;
+    the subprocess mode stays available for strict reference-style isolation
+    (the reference shells out per run via system(), :527-533)."""
     executable = list(executable or [sys.executable, "-m", "orthosfm_tpu.app"])
     results = []
     combi_id = 0
@@ -164,18 +174,27 @@ def run_full_pipeline_tests(
                 proj = os.path.join(
                     project_root,
                     f"{combi_id:03d}_{rep:03d}_{ds_name}_{config.name}")
-                cmd = executable + [proj, image_folder,
-                                    f"--downscale-factor={config.downscale_factor}",
-                                    "--overwrite",
-                                    f"--solver={config.solver}",
-                                    *config.extra_args]
+                argv = [proj, image_folder,
+                        f"--downscale-factor={config.downscale_factor}",
+                        "--overwrite",
+                        f"--solver={config.solver}",
+                        *config.extra_args]
+                cmd = executable + argv
                 if verbose:
                     print("Running:", " ".join(cmd))
                 try:
-                    # timeout: a wedged device tunnel must fail the run (and
-                    # be recorded as such), not hang the whole matrix
-                    subprocess.run(cmd, check=True, capture_output=not verbose,
-                                   timeout=1800)
+                    if in_process:
+                        from orthosfm_tpu import app
+
+                        rc = app.main(argv)
+                        if rc:
+                            raise RuntimeError(f"app.main returned {rc}")
+                    else:
+                        # timeout: a wedged device tunnel must fail the run
+                        # (and be recorded as such), not hang the matrix
+                        subprocess.run(cmd, check=True,
+                                       capture_output=not verbose,
+                                       timeout=1800)
                     a, p, rt, pt = evaluate_run(proj, references)
                     angular += a
                     position += p

@@ -36,6 +36,11 @@ def main(argv=None) -> int:
                    help="comma-separated solver indices or 'all' "
                         "(reference runs the full matrix, "
                         "full_pipeline_tests.cpp:414-477)")
+    p.add_argument("--subprocess", action="store_true",
+                   help="isolate every run in a fresh process like the "
+                        "reference's system() harness (slower: each process "
+                        "re-traces the whole pipeline); default is in-process"
+                        " with shared jit caches")
     p.add_argument("--platform", default="")
     args = p.parse_args(argv)
 
@@ -63,19 +68,12 @@ def main(argv=None) -> int:
     from orthosfm_tpu.testbench import full_pipeline
 
     dataset_names = []
+    supported = {}
     if args.generate:
         from orthosfm_tpu.testbench import render
 
-        # Scene × trajectory matrix — the hermetic analog of the reference's
-        # Suzanne/Rings/Dragon × Circle/3Lat/3Lat_rotated sets
-        # (full_pipeline_tests.cpp:404-412). Per-dataset view counts reflect
-        # scene difficulty: thin ring structures need ≤10° spacing and more
-        # pixels to keep neighbouring views matchable.
-        for name, scene, ring, min_views, width in (
-                ("SphereCircle", "sphere", 360.0, 12, args.width),
-                ("BlobCircle", "blob", 360.0, 12, args.width),
-                ("CubeArc", "ornament_cube", 140.0, 0, args.width),
-                ("RingsArc", "rings", 140.0, 16, max(args.width, 384))):
+        for (name, scene, ring, min_views, width, theta, roll,
+             solvers) in dataset_matrix(args.width):
             # A closed ring needs enough views that neighbours still match
             # (≤ ~30° apart); an arc can use the requested count directly.
             n_views = max(args.num_views, min_views)
@@ -87,12 +85,13 @@ def main(argv=None) -> int:
             seed = sum(name.encode()) % 1000
             gt = render.make_image_dataset(
                 os.path.join(ds_dir, "images"), num_views=n_views,
-                width=width, height=width,
-                seed=seed, ring_degrees=ring, scene=scene)
+                width=width, height=width, seed=seed, ring_degrees=ring,
+                theta_range=theta, roll_range=roll, scene=scene)
             names = [f"view_{i:02d}.png" for i in range(n_views)]
             full_pipeline.write_references(
                 os.path.join(ds_dir, "references.txt"), gt, names)
             dataset_names.append(name)
+            supported[name] = solvers
     else:
         dataset_names = [d for d in sorted(os.listdir(args.dataset_folder))
                          if os.path.isdir(os.path.join(args.dataset_folder, d))]
@@ -103,16 +102,46 @@ def main(argv=None) -> int:
                   else [int(s) for s in args.solvers.split(",")])
     extra = (("--platform", "cpu")
              if os.environ.get("ORTHOSFM_TB_CPU") else ())
-    configs = [full_pipeline.RunConfiguration(name=solver_names[s], solver=s,
-                                              extra_args=extra)
-               for s in solver_ids]
-    results = full_pipeline.run_full_pipeline_tests(
-        args.project_folder, args.dataset_folder, dataset_names, configs,
-        repetitions=args.repetitions)
+    results = []
+    for ds_name in dataset_names:
+        ids = [s for s in solver_ids
+               if s in supported.get(ds_name, tuple(solver_names))]
+        configs = [full_pipeline.RunConfiguration(
+            name=solver_names[s], solver=s, extra_args=extra) for s in ids]
+        if configs:
+            results += full_pipeline.run_full_pipeline_tests(
+                args.project_folder, args.dataset_folder, [ds_name], configs,
+                repetitions=args.repetitions, in_process=not args.subprocess)
     out_csv = os.path.join(args.project_folder, "results.csv")
     full_pipeline.save_results_csv(results, out_csv)
     print(f"Wrote {out_csv}")
     return 0
+
+
+def dataset_matrix(base_width: int):
+    """Scene × trajectory matrix — the hermetic analog of the reference's
+    Suzanne/Rings/Dragon × Circle/3Lat/3Lat_rotated sets with per-dataset
+    supported solver sets (full_pipeline_tests.cpp:404-412, :428-439: the
+    reference likewise restricts which solvers run on which dataset — a
+    dof-restricted Euler solver cannot represent camera motion outside its
+    dof span, so it gets a trajectory it CAN represent).
+
+    Rows: (name, scene, ring_degrees, min_views, width, theta_range,
+    roll_range, supported solver indices). Per-dataset view counts reflect
+    scene difficulty: thin ring structures need ≤ ~10° spacing and more
+    pixels to keep neighbouring views matchable; the Blob needs a denser
+    ring + more pixels than the default to keep the first group above the
+    10-full-size-track floor."""
+    w = base_width
+    return (
+        ("SphereCircle", "sphere", 360.0, 12, w, 10.0, 6.0, (0, 3)),
+        ("BlobCircle", "blob", 360.0, 16, max(w, 384), 10.0, 6.0, (0, 3)),
+        ("CubeArc", "ornament_cube", 140.0, 0, w, 10.0, 6.0, (0, 3)),
+        ("RingsArc", "rings", 140.0, 16, max(w, 384), 10.0, 6.0, (0, 3)),
+        # dof-compatible trajectories for the restricted Euler solvers
+        ("SphereCircleFlat", "sphere", 360.0, 12, w, 0.0, 0.0, (1,)),
+        ("SphereCircleTilt", "sphere", 360.0, 12, w, 10.0, 0.0, (2,)),
+    )
 
 
 if __name__ == "__main__":
