@@ -634,6 +634,10 @@ def extract(image_gray, per_octave_cap: int = 2048, max_octave: int = MAX_OCTAVE
                     valid=fb.valid[0])
 
 
+#: View-chunking budget for extract_batch (see its docstring)
+HBM_BUDGET_BYTES = 4_000_000_000
+
+
 def extract_batch(images, per_octave_cap: int = 2048,
                   max_octave: int = MAX_OCTAVE, min_octave: int = 0):
     """Batched multi-octave SIFT over a (V, H, W) stack of same-shape images.
@@ -643,8 +647,28 @@ def extract_batch(images, per_octave_cap: int = 2048,
     compiled detection program per octave shape serves every view, and ONE
     flat compacted orientation/descriptor program serves every valid keypoint
     of every view — the TPU-first replacement for MVE's per-view omp loop
-    (bundler_features.cc:40)."""
+    (bundler_features.cc:40).
+
+    The view axis is chunked to an HBM budget: at reference-scale inputs
+    (16 views × 2048², 2× upscaled) a single all-view scale-space tensor is
+    (16, S+7, 4096²) ≈ 21 GB and over-allocates the 16 GB chip; smaller
+    view chunks reuse the same per-octave compiled programs."""
     assert min_octave >= -1, "octaves below -1 are not defined"
+    V, H, W = images.shape
+    up = 2 if min_octave <= -1 else 1
+    per_view_bytes = (up * H) * (up * W) * 4 * 30  # live scale-space tensors
+    chunk = max(1, min(V, int(HBM_BUDGET_BYTES // max(per_view_bytes, 1))))
+    if chunk < V:
+        parts = [extract_batch(images[i:i + chunk], per_octave_cap,
+                               max_octave, min_octave)
+                 for i in range(0, V, chunk)]
+        return Features(
+            xy=np.concatenate([p.xy for p in parts], axis=0),
+            scale=np.concatenate([p.scale for p in parts], axis=0),
+            orientation=np.concatenate([p.orientation for p in parts], axis=0),
+            desc=jnp.concatenate([p.desc for p in parts], axis=0),
+            valid=np.concatenate([p.valid for p in parts], axis=0),
+        )
     img = images
     has_sigma = INHERENT_BLUR
     # Phase 1: enqueue EVERY octave's detection program (the octave chain is

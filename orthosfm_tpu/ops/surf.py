@@ -387,13 +387,33 @@ def _ori_desc_flat(S, kp, vi_slots, n_slots: int):
     return jnp.stack([ori, ok.astype(jnp.float32)], -1), desc_slots
 
 
+#: View-chunking budget for extract_batch (see sift.HBM_BUDGET_BYTES)
+HBM_BUDGET_BYTES = 4_000_000_000
+
+
 def extract_batch(grays, per_octave_cap: int = 1024) -> SurfFeatures:
     """Batched SURF over a (V, H, W) same-shape stack; metadata fields are
     host numpy with a leading V axis, desc is device-resident — same
     host-compacted design as sift.extract_batch: detection runs at capacity,
     the expensive per-keypoint orientation/descriptor stages only on actual
-    detections, with two host syncs total."""
+    detections, with two host syncs total.
+
+    Views are chunked to an HBM budget like sift.extract_batch — at
+    reference-scale inputs the all-view response stack over-allocates the
+    chip."""
     V, H, W = grays.shape
+    per_view_bytes = H * W * 4 * 40  # live integral/response tensors
+    chunk = max(1, min(V, int(HBM_BUDGET_BYTES // max(per_view_bytes, 1))))
+    if chunk < V:
+        parts = [extract_batch(grays[i:i + chunk], per_octave_cap)
+                 for i in range(0, V, chunk)]
+        return SurfFeatures(
+            xy=np.concatenate([p.xy for p in parts], axis=0),
+            scale=np.concatenate([p.scale for p in parts], axis=0),
+            orientation=np.concatenate([p.orientation for p in parts], axis=0),
+            desc=jnp.concatenate([p.desc for p in parts], axis=0),
+            valid=np.concatenate([p.valid for p in parts], axis=0),
+        )
     S, kp_packed = _detect_surf_batch(grays, per_octave_cap)
     kp_np = np.asarray(kp_packed)  # sync 1
     n_slots = kp_np.shape[1]

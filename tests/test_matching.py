@@ -176,3 +176,20 @@ def test_batched_extraction_matches_single():
         np.testing.assert_array_equal(fb.sift_desc, fs.sift_desc)
         np.testing.assert_array_equal(fb.surf_desc, fs.surf_desc)
         np.testing.assert_array_equal(fb.scale, fs.scale)
+
+
+def test_extract_batch_view_chunking_matches_unchunked(monkeypatch):
+    """Reference-scale inputs force view-chunked extraction (sift.py HBM
+    budget); the chunked path must produce identical features."""
+    import numpy as np
+
+    from orthosfm_tpu.ops import sift
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0.0, 1.0, (3, 64, 64)).astype(np.float32)
+    full = sift.extract_batch(imgs, per_octave_cap=128)
+    monkeypatch.setattr(sift, "HBM_BUDGET_BYTES", 64 * 64 * 4 * 30 + 1)
+    chunked = sift.extract_batch(imgs, per_octave_cap=128)
+    np.testing.assert_allclose(np.asarray(chunked.desc), np.asarray(full.desc))
+    np.testing.assert_array_equal(chunked.valid, full.valid)
+    np.testing.assert_allclose(chunked.xy, full.xy)
