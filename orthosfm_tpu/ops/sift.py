@@ -656,7 +656,7 @@ def extract_batch(images, per_octave_cap: int = 2048,
     assert min_octave >= -1, "octaves below -1 are not defined"
     V, H, W = images.shape
     up = 2 if min_octave <= -1 else 1
-    per_view_bytes = (up * H) * (up * W) * 4 * 30  # live scale-space tensors
+    per_view_bytes = (up * H) * (up * W) * 4 * 100  # scale space + 10 Taylor maps x (S+2) levels + top_k sort workspace
     chunk = max(1, min(V, int(HBM_BUDGET_BYTES // max(per_view_bytes, 1))))
     if chunk < V:
         parts = [extract_batch(images[i:i + chunk], per_octave_cap,

@@ -402,7 +402,7 @@ def extract_batch(grays, per_octave_cap: int = 1024) -> SurfFeatures:
     reference-scale inputs the all-view response stack over-allocates the
     chip."""
     V, H, W = grays.shape
-    per_view_bytes = H * W * 4 * 40  # live integral/response tensors
+    per_view_bytes = H * W * 4 * 60  # integral/response stacks + NMS masks + sort workspace
     chunk = max(1, min(V, int(HBM_BUDGET_BYTES // max(per_view_bytes, 1))))
     if chunk < V:
         parts = [extract_batch(grays[i:i + chunk], per_octave_cap)
