@@ -54,15 +54,97 @@ def triple_counts(incidence) -> np.ndarray:
     (real track sets have few distinct patterns), then one (V, P)·(P, V)
     matmul per leading view builds the tensor: O(P·V³) instead of O(T·V³).
     """
-    Mb = np.ascontiguousarray(np.asarray(incidence, bool))
-    pat, counts = np.unique(Mb, axis=0, return_counts=True)
-    Mp = pat.astype(np.float32)  # (P, V)
-    MpW = Mp * counts.astype(np.float32)[:, None]
+    Mp, MpW = _pattern_matrices(incidence)
     V = Mp.shape[1]
     S3 = np.empty((V, V, V), np.int64)
     for a in range(V):
         S3[a] = np.rint((Mp * Mp[:, a:a + 1]).T @ MpW).astype(np.int64)
     return S3
+
+
+# Above this view count the dense (V, V, V) int64 tensor (8·V³ bytes —
+# 64 MB at V=200) gives way to the O(V²)-memory lazy schedule below.
+DENSE_S3_MAX_VIEWS = 200
+
+
+def _pattern_matrices(incidence):
+    """Unique track support patterns Mp (P, V) and count-weighted MpW."""
+    Mb = np.ascontiguousarray(np.asarray(incidence, bool))
+    pat, counts = np.unique(Mb, axis=0, return_counts=True)
+    Mp = pat.astype(np.float32)
+    return Mp, Mp * counts.astype(np.float32)[:, None]
+
+
+def _leading_slab(Mp, MpW, a_col) -> np.ndarray:
+    """S3[a] = (V, V) triple-co-occurrence slab for leading view column a."""
+    return np.rint((Mp * Mp[:, a_col:a_col + 1]).T @ MpW).astype(np.int64)
+
+
+def _build_groups_lazy3(view_ids, incidence) -> List[List[int]]:
+    """groupSize=3 schedule with O(V²) peak memory: instead of the dense
+    (V, V, V) tensor, maintain per-candidate running maxima over used seed
+    pairs, folding in one (V, P)·(P, V) slab per newly-used view. Selection
+    order (including ties) matches the dense path exactly: each candidate
+    keeps the lex-smallest (a, b) seed pair achieving its max, and the
+    winner minimizes (pair, candidate) among maxima — the dense argmax's
+    first-occurrence rule."""
+    Mp, MpW = _pattern_matrices(incidence)
+    col = {v: i for i, v in enumerate(view_ids)}
+
+    # First group: seed {view 0, view 1}, best third by shared-track count
+    to_assign = sorted(view_ids[2:])
+    slab0 = _leading_slab(Mp, MpW, col[view_ids[0]])
+    rem_cols = np.array([col[v] for v in to_assign])
+    best = int(np.argmax(slab0[col[view_ids[1]], rem_cols]))
+    first = [view_ids[0], view_ids[1], to_assign[best]]
+    groups = [first]
+    used: List[int] = []
+    to_assign_set = set(to_assign)
+
+    # best_score[v] / best_pair[v]: best used seed pair for candidate v so far
+    best_score: dict = {}
+    best_pair: dict = {}
+
+    def fold_in_new_used(n):
+        """Add view n to used; score pairs (n, u) for all previously-used u
+        against every open candidate via n's slab."""
+        if not used or not to_assign_set:
+            used.append(n)
+            return
+        slab = _leading_slab(Mp, MpW, col[n])
+        u_cols = np.array([col[u] for u in used])
+        cands = sorted(to_assign_set)
+        r_cols = np.array([col[v] for v in cands])
+        sub = slab[np.ix_(u_cols, r_cols)]  # (U, R)
+        for ui, u in enumerate(used):
+            pair = (min(u, n), max(u, n))
+            for ci, c in enumerate(cands):
+                s = int(sub[ui, ci])
+                if s > best_score.get(c, -1) or (
+                        s == best_score.get(c, -1) and pair < best_pair[c]):
+                    best_score[c], best_pair[c] = s, pair
+        used.append(n)
+
+    for v in first:
+        to_assign_set.discard(v)
+        best_score.pop(v, None)
+        best_pair.pop(v, None)
+        fold_in_new_used(v)
+
+    while to_assign_set:
+        # min over (pair, candidate) among max scores = dense argmax order
+        top = max(best_score[c] for c in to_assign_set)
+        cand = min((best_pair[c], c) for c in to_assign_set
+                   if best_score[c] == top)[1]
+        a, b = best_pair[cand]
+        if top == 0:
+            _warn_disconnected()
+        groups.append([a, b, cand])
+        to_assign_set.discard(cand)
+        best_score.pop(cand, None)
+        best_pair.pop(cand, None)
+        fold_in_new_used(cand)
+    return groups
 
 
 def _warn_disconnected():
@@ -86,6 +168,8 @@ def build_groups(view_ids, incidence, group_size: int = 3) -> List[List[int]]:
         raise ValueError(f"need at least {group_size} views, got {len(view_ids)}")
     if group_size != 3:
         return _build_groups_generic(view_ids, incidence, group_size)
+    if len(view_ids) > DENSE_S3_MAX_VIEWS:
+        return _build_groups_lazy3(view_ids, incidence)
 
     S3 = triple_counts(incidence)
     col = {v: i for i, v in enumerate(view_ids)}

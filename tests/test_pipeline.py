@@ -114,3 +114,39 @@ def test_strict_reference_behavior_disables_init_fallback():
     strict = dataclasses.replace(cfg, strict_reference_behavior=True)
     with pytest.raises(incremental.TooFewTracksError):
         incremental.initial_alignment(starved, config=strict, **kwargs)
+
+
+def test_lazy_schedule_matches_dense_tensor():
+    """Above DENSE_S3_MAX_VIEWS build_groups switches to the O(V^2)-memory
+    lazy schedule; it must reproduce the dense S3 path exactly (same groups,
+    same order, same tie resolution) on random incidence structures."""
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        V = int(rng.integers(5, 14))
+        T = int(rng.integers(40, 250))
+        inc = rng.random((T, V)) < rng.uniform(0.25, 0.7)
+        inc[:V] |= np.eye(V, dtype=bool)
+        inc[0, :2] = True
+        ids = list(range(V))
+        dense = grouping.build_groups(ids, inc, 3)
+        lazy = grouping._build_groups_lazy3(ids, inc)
+        assert dense == lazy, (trial, dense, lazy)
+
+
+def test_large_view_counts_use_bounded_memory_schedule(monkeypatch):
+    """V just above the dense ceiling routes through the lazy path and still
+    produces a complete, valid schedule."""
+    monkeypatch.setattr(grouping, "DENSE_S3_MAX_VIEWS", 32)
+    rng = np.random.default_rng(4)
+    V, T = 40, 4000
+    centers = rng.integers(0, V, T)
+    span = rng.integers(2, 6, T)
+    cols = np.arange(V)[None, :]
+    inc = (np.abs((cols - centers[:, None] + V // 2) % V - V // 2)
+           <= span[:, None])
+    groups = grouping.build_groups(list(range(V)), inc, 3)
+    covered = set()
+    for g in groups:
+        assert len(g) == 3
+        covered.update(g)
+    assert covered == set(range(V))
