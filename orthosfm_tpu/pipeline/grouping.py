@@ -116,13 +116,24 @@ def _build_groups_lazy3(view_ids, incidence) -> List[List[int]]:
         cands = sorted(to_assign_set)
         r_cols = np.array([col[v] for v in cands])
         sub = slab[np.ix_(u_cols, r_cols)]  # (U, R)
-        for ui, u in enumerate(used):
-            pair = (min(u, n), max(u, n))
-            for ci, c in enumerate(cands):
-                s = int(sub[ui, ci])
-                if s > best_score.get(c, -1) or (
-                        s == best_score.get(c, -1) and pair < best_pair[c]):
-                    best_score[c], best_pair[c] = s, pair
+        # Vectorized per fold: column max per candidate, then resolve the
+        # lex-min (a, b) seed-pair tie-break only among rows attaining the
+        # max. Pair tie-breaking is order-independent, so this matches the
+        # scalar (u × candidate) scan exactly while keeping the Python work
+        # O(R) per fold (O(V²) overall) instead of O(U·R).
+        pairs = [(min(u, n), max(u, n)) for u in used]
+        order = sorted(range(len(used)), key=lambda ui: pairs[ui])
+        rank = np.empty(len(used), np.int64)
+        rank[order] = np.arange(len(used))
+        m = sub.max(axis=0)  # (R,)
+        attain_rank = np.where(sub == m[None, :], rank[:, None],
+                               len(used)).min(axis=0)  # (R,)
+        for ci, c in enumerate(cands):
+            s = int(m[ci])
+            pair = pairs[order[int(attain_rank[ci])]]
+            if s > best_score.get(c, -1) or (
+                    s == best_score.get(c, -1) and pair < best_pair[c]):
+                best_score[c], best_pair[c] = s, pair
         used.append(n)
 
     for v in first:

@@ -41,6 +41,57 @@ class PhaseTimer:
         return "\n".join(f"{name}: {dt:.3f} s" for name, dt in self.elapsed().items())
 
 
+# ---------------------------------------------------------------------------
+# Sub-stage attribution (opt-in). When a collector is active, `stage(name)`
+# regions accumulate wall time into it, with a device barrier on exit so async
+# device work is attributed to the stage that enqueued it. When no collector
+# is active, `stage` is a no-op AND inserts no barriers — the production
+# pipeline keeps its deliberately pipelined dispatch (e.g. the octave chain in
+# ops/sift.extract_batch).
+
+_STAGES: "Dict[str, float] | None" = None
+
+
+def _device_barrier() -> None:
+    """Block until all previously enqueued device programs complete (TPU
+    executes programs in stream order, so syncing a fresh trivial program
+    fences everything enqueued before it)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.block_until_ready(jax.jit(lambda: jnp.zeros(()))())
+
+
+@contextlib.contextmanager
+def collect_stages(out: Dict[str, float]):
+    """Activate sub-stage collection into `out` for the enclosed region."""
+    global _STAGES
+    prev, _STAGES = _STAGES, out
+    try:
+        yield out
+    finally:
+        _STAGES = prev
+
+
+@contextlib.contextmanager
+def stage(name: str):
+    """Attribute the enclosed region (incl. device work it enqueued) to
+    `name` when a collector is active; free otherwise."""
+    if _STAGES is None:
+        yield
+        return
+    out = _STAGES
+    t0 = time.monotonic()
+    try:
+        yield
+    finally:
+        try:
+            _device_barrier()
+        except Exception:  # pragma: no cover - profiling must never break prod
+            pass
+        out[name] = out.get(name, 0.0) + (time.monotonic() - t0)
+
+
 @contextlib.contextmanager
 def device_trace(logdir: str):
     """Capture a jax.profiler trace of the enclosed region (view with
