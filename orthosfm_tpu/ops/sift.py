@@ -74,44 +74,65 @@ def grayscale(rgb):
     return jnp.mean(rgb.astype(jnp.float32), axis=-1) / 255.0
 
 
-def _gauss_kernel(sigma: float):
+def _gauss_kernel_np(sigma: float) -> np.ndarray:
     # MVE blur_gaussian kernel radius: ceil(sigma * 2.884) (image_tools.h)
     r = max(int(math.ceil(sigma * 2.884)), 1)
     x = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-(x * x) / (2.0 * sigma * sigma))
-    return jnp.asarray(k / k.sum(), jnp.float32)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _slide(p, i, size, axis):
+    """Length-`size` slice of padded array `p` starting at `i` along axis."""
+    return jax.lax.slice_in_dim(p, i, i + size, axis=axis)
 
 
 def gaussian_blur(img, sigma: float):
-    """Separable Gaussian blur with edge-replicate padding."""
-    k = _gauss_kernel(sigma)
-    r = (k.shape[0] - 1) // 2
-    p = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
-    img = jax.lax.conv_general_dilated(
-        p[None, None], k[None, None, :, None], (1, 1), "VALID")[0, 0]
-    p = jnp.pad(img, ((0, 0), (r, r)), mode="edge")
-    return jax.lax.conv_general_dilated(
-        p[None, None], k[None, None, None, :], (1, 1), "VALID")[0, 0]
+    """Separable Gaussian blur with edge-replicate padding over (..., H, W).
+
+    Implemented as tap-weighted shifted adds (not lax.conv): a 1-channel
+    conv under vmap gets laid out with its size-1 feature dim on the 128-
+    lane axis — a measured 128× HBM padding expansion at 2048² view stacks.
+    The shifted-add form stays in native (8, 128)-tiled layout, fuses on the
+    VPU and is batch-polymorphic."""
+    k = _gauss_kernel_np(sigma)
+    r = (len(k) - 1) // 2
+    H, W = img.shape[-2], img.shape[-1]
+    nb = img.ndim - 2
+    p = jnp.pad(img, [(0, 0)] * nb + [(r, r), (0, 0)], mode="edge")
+    img = sum(float(k[i]) * _slide(p, i, H, -2) for i in range(len(k)))
+    p = jnp.pad(img, [(0, 0)] * nb + [(0, 0), (r, r)], mode="edge")
+    return sum(float(k[i]) * _slide(p, i, W, -1) for i in range(len(k)))
 
 
 def half_size_gaussian(img):
     """Gaussian-weighted 2× downsample, σ=0.866 over the 4×4 support
-    (MVE rescale_half_size_gaussian, image_tools.h:619-693)."""
+    (MVE rescale_half_size_gaussian, image_tools.h:619-693). Shift-add
+    form for the same layout reason as gaussian_blur; supports (..., H, W).
+    """
     sigma = 0.866025403784439
     w1 = math.exp(-0.5 / (2.0 * sigma**2))
     w2 = math.exp(-2.5 / (2.0 * sigma**2))
     w3 = math.exp(-4.5 / (2.0 * sigma**2))
     kernel = np.array(
         [[w3, w2, w2, w3], [w2, w1, w1, w2], [w2, w1, w1, w2], [w3, w2, w2, w3]],
-        np.float32,
+        np.float64,
     )
     kernel /= kernel.sum()
-    h, w = img.shape
+    H, W = img.shape[-2], img.shape[-1]
+    ho, wo = (H + 1) // 2, (W + 1) // 2
+    nb = img.ndim - 2
     # Output (x,y) reads input rows/cols (2y-1 .. 2y+2) with edge clamping
-    p = jnp.pad(img, ((1, 2), (1, 2)), mode="edge")
-    out = jax.lax.conv_general_dilated(
-        p[None, None], jnp.asarray(kernel)[None, None], (2, 2), "VALID")[0, 0]
-    return out[: (h + 1) // 2, : (w + 1) // 2]
+    p = jnp.pad(img, [(0, 0)] * nb + [(1, 2), (1, 2)], mode="edge")
+    out = None
+    for i in range(4):
+        row = jax.lax.slice_in_dim(p, i, i + 2 * ho - 1, axis=-2)
+        row = row[..., ::2, :]
+        for j in range(4):
+            col = jax.lax.slice_in_dim(row, j, j + 2 * wo - 1, axis=-1)
+            term = float(kernel[i, j]) * col[..., :, ::2]
+            out = term if out is None else out + term
+    return out
 
 
 def build_octave(base, has_sigma: float):
@@ -182,39 +203,54 @@ def localize_keypoints(dogs, s, y, x, valid):
     """Taylor localization with up to 5 re-centering iterations + stability
     filters (sift.cc:339-484). Returns refined (x, y, sample, valid).
 
-    TPU formulation: the 10 Taylor derivative maps are precomputed as rolled
-    DoG differences (one fused VPU pass over the stack); each re-centering
-    iteration is then a 10-value gather per keypoint + a closed-form cofactor
-    3×3 solve vectorized over all keypoints (per-keypoint jnp.linalg.solve
-    lowers to batched LU, which serializes — measured 615 ms → ~10 ms at
-    16 views × 2048 caps)."""
+    TPU formulation: per re-centering iteration, each keypoint gathers its
+    3×3×3 DoG neighbourhood (27 values) and the 10 Taylor derivatives are
+    computed from the cube; the Taylor solve is a closed-form cofactor 3×3
+    vectorized over all keypoints. The earlier full-image derivative maps
+    (10 × (S+2) × H × W rolled-difference planes) did the same math but
+    peaked at ~800 MB/view at 2048² — gathering first keeps the transient
+    at O(K) and lets the per-octave detection program run 4× more views per
+    chunk."""
     S2, H, W = dogs.shape
     K = s.shape[0]
 
-    def roll2(a, dy, dx):
-        return jnp.roll(a, (-dy, -dx), axis=(1, 2))
+    dflat = dogs.reshape(-1)
+    # Flat offsets of the 27-cube around (s, y, x), ds/dy/dx-major
+    offs = jnp.asarray([(ds * H + dy) * W + dx
+                        for ds in (-1, 0, 1)
+                        for dy in (-1, 0, 1)
+                        for dx in (-1, 0, 1)], jnp.int32)
 
-    up, dn = jnp.roll(dogs, -1, 0), jnp.roll(dogs, 1, 0)
-    D0 = dogs
-    derivs = jnp.stack([
-        D0,                                                       # center
-        0.5 * (roll2(D0, 0, 1) - roll2(D0, 0, -1)),               # Dx
-        0.5 * (roll2(D0, 1, 0) - roll2(D0, -1, 0)),               # Dy
-        0.5 * (up - dn),                                          # Ds
-        roll2(D0, 0, 1) + roll2(D0, 0, -1) - 2 * D0,              # Dxx
-        roll2(D0, 1, 0) + roll2(D0, -1, 0) - 2 * D0,              # Dyy
-        up + dn - 2 * D0,                                         # Dss
-        0.25 * (roll2(D0, 1, 1) + roll2(D0, -1, -1)
-                - roll2(D0, -1, 1) - roll2(D0, 1, -1)),           # Dxy
-        0.25 * (roll2(up, 0, 1) + roll2(dn, 0, -1)
-                - roll2(up, 0, -1) - roll2(dn, 0, 1)),            # Dxs
-        0.25 * (roll2(up, 1, 0) + roll2(dn, -1, 0)
-                - roll2(up, -1, 0) - roll2(dn, 1, 0)),            # Dys
-    ]).reshape(10, -1)
+    def cube_idx(ds, dy, dx):
+        return ((ds + 1) * 3 + (dy + 1)) * 3 + (dx + 1)
 
     def deriv_at(ix, iy, s0):
-        flat = (s0 * H + iy) * W + ix  # (K,)
-        return derivs[:, flat]  # (10, K)
+        """(10, K) Taylor derivatives from gathered 27-cubes. The keypoint
+        coordinates are pre-clamped to [1, dim−2], so every cube entry is in
+        bounds (the rolled-map formulation wrapped at borders; interior
+        values are bit-identical)."""
+        base = (s0 * H + iy) * W + ix  # (K,)
+        C = dflat[base[:, None] + offs[None, :]].T  # (27, K)
+
+        def at(ds, dy, dx):
+            return C[cube_idx(ds, dy, dx)]
+
+        D0 = at(0, 0, 0)
+        return jnp.stack([
+            D0,
+            0.5 * (at(0, 0, 1) - at(0, 0, -1)),                   # Dx
+            0.5 * (at(0, 1, 0) - at(0, -1, 0)),                   # Dy
+            0.5 * (at(1, 0, 0) - at(-1, 0, 0)),                   # Ds
+            at(0, 0, 1) + at(0, 0, -1) - 2 * D0,                  # Dxx
+            at(0, 1, 0) + at(0, -1, 0) - 2 * D0,                  # Dyy
+            at(1, 0, 0) + at(-1, 0, 0) - 2 * D0,                  # Dss
+            0.25 * (at(0, 1, 1) + at(0, -1, -1)
+                    - at(0, -1, 1) - at(0, 1, -1)),               # Dxy
+            0.25 * (at(1, 0, 1) + at(-1, 0, -1)
+                    - at(1, 0, -1) - at(-1, 0, 1)),               # Dxs
+            0.25 * (at(1, 1, 0) + at(-1, -1, 0)
+                    - at(1, -1, 0) - at(-1, 1, 0)),               # Dys
+        ])
 
     def solve3(d):
         """Closed-form solve A·sol = −g from the stacked derivative rows."""
@@ -634,8 +670,61 @@ def extract(image_gray, per_octave_cap: int = 2048, max_octave: int = MAX_OCTAVE
                     valid=fb.valid[0])
 
 
-#: View-chunking budget for extract_batch (see its docstring)
-HBM_BUDGET_BYTES = 4_000_000_000
+#: View-chunking budget for extract_batch: bounds the HELD per-octave
+#: gradient/orientation stacks (~64*up^2*H*W bytes/view across the octave
+#: chain); the big detection transients (Taylor maps, top-k workspace) are
+#: per-view inside the lax.map body and do not scale with the chunk.
+HBM_BUDGET_BYTES = 8_000_000_000
+
+
+def _octave_plan(H: int, W: int, per_octave_cap: int, max_octave: int,
+                 min_octave: int):
+    """Static (octave, cap, h, w) schedule for an input shape."""
+    plan = []
+    h, w = H, W
+    for o in range(min_octave, max_octave + 1):
+        if o == -1:
+            h, w = 2 * H, 2 * W
+        elif o == 0:
+            h, w = H, W
+        if min(h, w) < 16:
+            break
+        plan.append((o, _octave_cap(per_octave_cap, h, w), h, w))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    return plan
+
+
+def _detect_all_octaves(images, per_octave_cap: int, max_octave: int,
+                        min_octave: int):
+    """Enqueue one vmapped detection program per octave over the whole view
+    stack (the octave chain is device-only — half_size feeds the next
+    octave's detect without a host sync). Returns [(kp, grads, oris), ...]
+    per octave, all device-resident.
+
+    NOT fused into a single lax.map-over-views program: measured on the v5e,
+    the while-loop body compiles ~14× slower than the vmapped per-octave
+    programs (21 s vs 1.5 s for octave 0 at 16 × 2048²) — batched VPU ops
+    across views fuse far better than a sequential per-view loop, and with
+    cube-gathering localization the per-view transients are small enough to
+    vmap 16 full-resolution views at once."""
+    plan = _octave_plan(images.shape[1], images.shape[2], per_octave_cap,
+                        max_octave, min_octave)
+    img = images
+    has_sigma = INHERENT_BLUR
+    dets = []
+    for o, cap, h, w in plan:
+        if o == -1:
+            img = jax.vmap(double_size_supersample)(images)
+            has_sigma = INHERENT_BLUR * 2.0
+        elif o == 0:
+            # Octave 0 always starts from the original image (sift.cc:195-199)
+            img = images
+            has_sigma = INHERENT_BLUR
+        dets.append(_detect_octave_batch(img, has_sigma, cap))
+        if o >= 0:
+            img = jax.vmap(half_size_gaussian)(img)
+            has_sigma = BASE_BLUR
+    return dets
 
 
 def extract_batch(images, per_octave_cap: int = 2048,
@@ -643,21 +732,23 @@ def extract_batch(images, per_octave_cap: int = 2048,
     """Batched multi-octave SIFT over a (V, H, W) stack of same-shape images.
 
     All returned Features fields are numpy with a leading V axis and a fixed
-    per-view slot layout (Σ_o cap_o·M slots; invalid slots zeroed). One
-    compiled detection program per octave shape serves every view, and ONE
-    flat compacted orientation/descriptor program serves every valid keypoint
-    of every view — the TPU-first replacement for MVE's per-view omp loop
-    (bundler_features.cc:40).
+    per-view slot layout (sum_o cap_o*M slots; invalid slots zeroed). ONE
+    compiled detection program serves every (view, octave) pair and ONE flat
+    compacted orientation/descriptor program per octave serves every valid
+    keypoint of every view - the TPU-first replacement for MVE's per-view
+    omp loop (bundler_features.cc:40). Host syncs per chunk: one combined
+    keypoint pull + one packed orientation pull per octave.
 
-    The view axis is chunked to an HBM budget: at reference-scale inputs
-    (16 views × 2048², 2× upscaled) a single all-view scale-space tensor is
-    (16, S+7, 4096²) ≈ 21 GB and over-allocates the 16 GB chip; smaller
-    view chunks reuse the same per-octave compiled programs."""
+    The view axis is chunked to an HBM budget on the HELD gradient stacks
+    (at 16 views x 2048^2 with the 2x upscale octave they are ~17 GB vs the
+    16 GB chip; un-upscaled they fit in one chunk)."""
     assert min_octave >= -1, "octaves below -1 are not defined"
     V, H, W = images.shape
     up = 2 if min_octave <= -1 else 1
-    per_view_bytes = (up * H) * (up * W) * 4 * 100  # scale space + 10 Taylor maps x (S+2) levels + top_k sort workspace
-    chunk = max(1, min(V, int(HBM_BUDGET_BYTES // max(per_view_bytes, 1))))
+    # Held grads/oris chain (~64·1.33 B/px) + vmapped octave-0 detection
+    # transients (pyramid + extrema masks + top-k workspace, ~140 B/px)
+    per_view_bytes = int(230 * (up * H) * (up * W))
+    chunk = max(1, min(V, HBM_BUDGET_BYTES // max(per_view_bytes, 1)))
     if chunk < V:
         parts = [extract_batch(images[i:i + chunk], per_octave_cap,
                                max_octave, min_octave)
@@ -669,33 +760,27 @@ def extract_batch(images, per_octave_cap: int = 2048,
             desc=jnp.concatenate([p.desc for p in parts], axis=0),
             valid=np.concatenate([p.valid for p in parts], axis=0),
         )
-    img = images
-    has_sigma = INHERENT_BLUR
-    # Phase 1: enqueue EVERY octave's detection program (the octave chain is
-    # device-only: half_size feeds the next detect without a host sync)
-    detections = []  # (octave, cap, kp_packed handle, grads, oris)
-    for o in range(min_octave, max_octave + 1):
-        if o == -1:
-            img = jax.vmap(double_size_supersample)(images)
-            has_sigma = INHERENT_BLUR * 2.0
-        elif o == 0:
-            # Octave 0 always starts from the original image (sift.cc:195-199)
-            img = images
-            has_sigma = INHERENT_BLUR
-        h, w = img.shape[1:]
-        if min(h, w) < 16:
-            break
-        cap = _octave_cap(per_octave_cap, h, w)
-        detections.append((o, cap) + tuple(
-            _detect_octave_batch(img, has_sigma, cap)))
-        if o >= 0:
-            img = jax.vmap(half_size_gaussian)(img)
-            has_sigma = BASE_BLUR
+    from orthosfm_tpu.utils.profiling import stage as _stage
 
-    # Phase 2: per octave, pull the packed keypoints (overlaps later octaves'
-    # detection), compact on host, enqueue the orientation/descriptor program
-    finalizers = [(o, cap, _launch_ori_desc(np.asarray(kp), grads, oris, cap))
-                  for (o, cap, kp, grads, oris) in detections]
+    plan = _octave_plan(H, W, per_octave_cap, max_octave, min_octave)
+
+    # Phase 1: one vmapped program per octave + ONE combined keypoint pull
+    with _stage("sift/pyramid_detect"):
+        dets = _detect_all_octaves(images, per_octave_cap, max_octave,
+                                   min_octave)
+        kp_all = np.asarray(jnp.concatenate([kp for kp, _, _ in dets],
+                                            axis=1))  # (V, sum cap, 4)
+
+    # Phase 2: compact each octave's keypoints on host, enqueue the
+    # orientation/descriptor program (grads/oris stay device-resident)
+    with _stage("sift/ori_desc"):
+        finalizers = []
+        off = 0
+        for (o, cap, h, w), (_, grads, oris) in zip(plan, dets):
+            kp_np = kp_all[:, off:off + cap]
+            off += cap
+            finalizers.append((o, cap,
+                               _launch_ori_desc(kp_np, grads, oris, cap)))
 
     # Phase 3: finalize each octave (one small pull each)
     all_feats = []

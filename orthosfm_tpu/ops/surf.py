@@ -46,10 +46,47 @@ class SurfFeatures(NamedTuple):
     valid: "np.ndarray"  # (K,)
 
 
+def _cumsum_exact_last(x_i32, block: int, max_val: int):
+    """Inclusive int32 cumsum along the last axis via blocked triangular
+    matmuls on the MXU.
+
+    jnp.cumsum lowers to a sequential scan that measured ~0.4 s per axis per
+    2048² view on the v5e — 13 s for a 16-view SURF stack, dwarfing the
+    actual box filtering. The blocked form does an in-block inclusive
+    cumsum as one (..., nb, B)·(B, B) upper-triangular matmul (f32 exact:
+    `block` is chosen so block·max_val < 2²⁴, so every partial sum is an
+    exactly-representable integer) plus a tiny inter-block carry cumsum —
+    bit-identical to jnp.cumsum, ~3 orders of magnitude faster."""
+    assert block * max_val < (1 << 24), "f32 matmul would round"
+    n = x_i32.shape[-1]
+    nb = -(-n // block)
+    pad = nb * block - n
+    xp = jnp.pad(x_i32, [(0, 0)] * (x_i32.ndim - 1) + [(0, pad)])
+    xb = xp.reshape(*xp.shape[:-1], nb, block).astype(jnp.float32)
+    U = jnp.asarray(np.triu(np.ones((block, block), np.float32)))
+    inner = jax.lax.dot_general(
+        xb, U, (((xb.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    totals = inner[..., :, -1]
+    carry = jnp.cumsum(totals, axis=-1) - totals  # exclusive, (..., nb)
+    out = inner + carry[..., :, None]
+    return out.reshape(*xp.shape)[..., :n]
+
+
 def integral_image(gray01):
-    """int32 SAT of the byte-scaled image: S[y, x] = Σ_{j≤y, i≤x} img255."""
+    """int32 SAT of the byte-scaled image: S[y, x] = Σ_{j≤y, i≤x} img255.
+
+    Pass 1 sums raw bytes (≤255 → block 256 exact); pass 2 sums row
+    prefixes (≤255·W → block 32 exact up to W=2048; wider images split
+    fine because the bound only involves the BLOCK sum)."""
     img = jnp.round(gray01 * 255.0).astype(jnp.int32)
-    return jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)
+    s = _cumsum_exact_last(img, 256, 255)
+    max2 = 255 * img.shape[-1]
+    blk2 = 8
+    while blk2 * 2 * max2 < (1 << 24):
+        blk2 *= 2
+    s = _cumsum_exact_last(jnp.swapaxes(s, -1, -2), blk2, max2)
+    return jnp.swapaxes(s, -1, -2)
 
 
 def _shift(S, dy, dx, step: int = 1):
@@ -307,6 +344,155 @@ def _descriptor_block(S, vi, kx, ky, scale, ori):
     return d, in_bounds & nonzero
 
 
+# ---------------------------------------------------------------------------
+# Haar-response-map orientation/descriptor path. The block functions above
+# gather 12 SAT corners per Haar sample (6 108 random gathers per keypoint
+# across both stages); TPU random-gather throughput (~65 M elem/s measured)
+# made that the whole SURF stage's bottleneck. Keypoint scales come from a
+# STATIC table (KERNEL_SIZES → scale = 0.4·fs, truncated to int), so the
+# pipeline buckets keypoints by integer scale and, per scale, precomputes
+# full Haar dx/dy maps with shifted SAT slices (pure VPU, no gathers) —
+# sampling then costs 2 gathers per sample instead of 12. For every
+# in-bounds keypoint the values are bit-identical to the gather path (the
+# windows guarantee no corner clamping; out-of-bounds keypoints are
+# invalidated in both paths).
+
+
+def _sat_shift(S, dy: int, dx: int):
+    """S[..., clip(y+dy, 0, H−1), clip(x+dx, 0, W−1)] via edge-replicate
+    pad + slice (matches _sat_at's clamping semantics)."""
+    nb = S.ndim - 2
+    H, W = S.shape[-2:]
+    p = jnp.pad(S, [(0, 0)] * nb + [(max(0, -dy), max(0, dy)),
+                                    (max(0, -dx), max(0, dx))], mode="edge")
+    p = jax.lax.slice_in_dim(p, max(0, dy), max(0, dy) + H, axis=-2)
+    return jax.lax.slice_in_dim(p, max(0, dx), max(0, dx) + W, axis=-1)
+
+
+def _haar_maps(S, fs: int):
+    """Full-image Haar dx/dy response maps for a STATIC filter size fs —
+    the map value at (v, y, x) equals _haar_dx_dy(S, x, y, fs) exactly
+    (same corner arithmetic, same int32→f32 cast point)."""
+    c = {}
+    for (dy, dx) in {(-fs - 1, -fs - 1), (-fs - 1, -1), (-fs - 1, 0),
+                     (-fs - 1, fs), (fs, -fs - 1), (fs, -1), (fs, 0),
+                     (fs, fs), (-1, -fs - 1), (-1, fs), (0, -fs - 1),
+                     (0, fs)}:
+        c[(dy, dx)] = _sat_shift(S, dy, dx)
+    x1, x2, x3, x4 = (c[(-fs - 1, -fs - 1)], c[(-fs - 1, -1)],
+                      c[(-fs - 1, 0)], c[(-fs - 1, fs)])
+    x5, x6, x7, x8 = (c[(fs, -fs - 1)], c[(fs, -1)], c[(fs, 0)], c[(fs, fs)])
+    y1, y2, y3, y4 = (c[(-1, -fs - 1)], c[(-1, fs)], c[(0, -fs - 1)],
+                      c[(0, fs)])
+    norm = jnp.float32((2 * fs + 1) * fs * (fs + 1))
+    dx_m = ((x8 + x2 - x4 - x6) - (x7 + x1 - x3 - x5)).astype(jnp.float32) / norm
+    dy_m = ((x8 + y1 - x5 - y2) - (y4 + x1 - y3 - x4)).astype(jnp.float32) / norm
+    return dx_m, dy_m
+
+
+def _map_at(M, vi, y, x):
+    H, W = M.shape[-2:]
+    return M[vi, jnp.clip(y, 0, H - 1), jnp.clip(x, 0, W - 1)]
+
+
+def _orientation_block_s(dxo, dyo, vi, kx, ky, s_val: int):
+    """_orientation_block with a static integer scale and precomputed
+    fs=2s Haar maps (2 gathers per sample instead of 12)."""
+    H, W = dxo.shape[-2:]
+    ix = jnp.floor(kx + 0.5).astype(jnp.int32)[:, None]
+    iy = jnp.floor(ky + 0.5).astype(jnp.int32)[:, None]
+    spacing = 8 * s_val + 1
+    in_bounds = ((ix[:, 0] >= spacing) & (iy[:, 0] >= spacing)
+                 & (ix[:, 0] + spacing < W) & (iy[:, 0] + spacing < H))
+
+    offs = jnp.asarray(_ORI_OFFSETS * s_val, jnp.int32)  # (109, 2)
+    gauss = jnp.asarray(_ORI_GAUSS, jnp.float32)
+    px = ix + offs[None, :, 0]
+    py = iy + offs[None, :, 1]
+    vv = vi[:, None]
+    dx = _map_at(dxo, vv, py, px) * gauss
+    dy = _map_at(dyo, vv, py, px) * gauss
+    ang = jnp.arctan2(dy, dx)  # (C, 109)
+
+    centers = jnp.arange(-np.pi, np.pi, np.pi / 8.0)
+    lo = centers - np.pi / 6.0
+    hi = centers + np.pi / 6.0
+    a = ang[:, :, None]
+    inside = (((a > lo) & (a < hi))
+              | ((a + 2 * np.pi > lo) & (a + 2 * np.pi < hi))
+              | ((a - 2 * np.pi > lo) & (a - 2 * np.pi < hi)))
+    sx = jnp.sum(jnp.where(inside, dx[:, :, None], 0.0), axis=1)
+    sy = jnp.sum(jnp.where(inside, dy[:, :, None], 0.0), axis=1)
+    lengths = sx * sx + sy * sy
+    best = jnp.argmax(lengths, axis=-1)
+    bsx = jnp.take_along_axis(sx, best[:, None], 1)[:, 0]
+    bsy = jnp.take_along_axis(sy, best[:, None], 1)[:, 0]
+    return jnp.arctan2(bsy, bsx), in_bounds
+
+
+def _descriptor_block_s(dxd, dyd, vi, kx, ky, s_val: int, ori):
+    """_descriptor_block with a static integer scale and precomputed fs=s
+    Haar maps."""
+    H, W = dxd.shape[-2:]
+    C = kx.shape[0]
+    spacing = float(15 * s_val + 1)
+    in_bounds = ((kx >= spacing) & (ky >= spacing)
+                 & (kx + spacing < W) & (ky + spacing <= H))
+    sino, coso = jnp.sin(ori)[:, None, None], jnp.cos(ori)[:, None, None]
+
+    grid = jnp.arange(-10, 10)
+    gx, gy = jnp.meshgrid(grid, grid, indexing="xy")
+    gxf = (gx.astype(jnp.float32) + 0.5)[None]
+    gyf = (gy.astype(jnp.float32) + 0.5)[None]
+    sf = jnp.float32(s_val)
+    rot_x = jnp.floor(kx[:, None, None] + (coso * gxf - sino * gyf) * sf
+                      + 0.5).astype(jnp.int32)
+    rot_y = jnp.floor(ky[:, None, None] + (sino * gxf + coso * gyf) * sf
+                      + 0.5).astype(jnp.int32)
+    vv = vi[:, None, None]
+    dx = _map_at(dxd, vv, rot_y, rot_x)
+    dy = _map_at(dyd, vv, rot_y, rot_x)
+    odx = coso * dx + sino * dy
+    ody = -sino * dx + coso * dy
+    weight = (jnp.exp(-(gx.astype(jnp.float32) ** 2
+                        + gy.astype(jnp.float32) ** 2) / (2.0 * 3.3) ** 2))[None]
+    stats = jnp.stack([weight * odx, weight * ody,
+                       weight * jnp.abs(odx), weight * jnp.abs(ody)], -1)
+    blocks = stats.reshape(C, 4, 5, 4, 5, 4).sum(axis=(2, 4))
+    d = blocks.reshape(C, 64)
+    norm2 = jnp.sum(d * d, axis=-1)
+    nonzero = norm2 > 1e-8
+    d = d / jnp.sqrt(jnp.maximum(norm2, 1e-12))[:, None]
+    return d, in_bounds & nonzero
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots", "s_val"))
+def _ori_desc_flat_s(S, kp, vi_slots, n_slots: int, s_val: int):
+    """_ori_desc_flat for one integer-scale bucket: Haar maps for fs=2s
+    (orientation) and fs=s (descriptor) are built once with shifted slices,
+    then every keypoint samples them with 2 gathers per sample."""
+    dxo, dyo = _haar_maps(S, 2 * s_val)
+    dxd, dyd = _haar_maps(S, s_val)
+
+    def body(kp_c):
+        vi = kp_c[:, 0].astype(jnp.int32)
+        kx, ky = kp_c[:, 1], kp_c[:, 2]
+        ori, ok1 = _orientation_block_s(dxo, dyo, vi, kx, ky, s_val)
+        d, ok2 = _descriptor_block_s(dxd, dyd, vi, kx, ky, s_val, ori)
+        return ori, ok1 & ok2, d
+
+    B = kp.shape[0]
+    V = S.shape[0]
+    chunk = min(_SURF_CHUNK, B)
+    ori, ok, desc = jax.lax.map(body, kp.reshape(B // chunk, chunk, 4))
+    ori = ori.reshape(B)
+    ok = ok.reshape(B)
+    desc = jnp.where(ok[:, None], desc.reshape(B, 64), 0.0)
+    desc_slots = jnp.zeros((V, n_slots, 64), jnp.float32).at[
+        vi_slots[:, 0], vi_slots[:, 1]].set(desc)
+    return jnp.stack([ori, ok.astype(jnp.float32)], -1), desc_slots
+
+
 def _orientation(S, kx, ky, scale, ok):
     """Single-keypoint wrapper around _orientation_block (kept for the unit
     tests; the pipeline uses the flat block path)."""
@@ -353,7 +539,12 @@ def _detect_surf_batch(grays, per_octave_cap: int):
                                   valid.astype(jnp.float32)], -1))
         return S, jnp.concatenate(kps)
 
-    return jax.vmap(one)(grays)
+    # lax.map (not vmap): the ~60 floats/pixel response/NMS transients then
+    # exist for ONE view at a time, so the whole 16-view reference-scale
+    # stack runs as a single program (vmap made transients scale with the
+    # chunk, forcing 4-view chunks + 4x the dispatch/sync overhead on the
+    # remote-dispatch TPU runtime).
+    return jax.lax.map(one, grays)
 
 
 _SURF_CHUNK = 1024
@@ -387,7 +578,9 @@ def _ori_desc_flat(S, kp, vi_slots, n_slots: int):
     return jnp.stack([ori, ok.astype(jnp.float32)], -1), desc_slots
 
 
-#: View-chunking budget for extract_batch (see sift.HBM_BUDGET_BYTES)
+#: View-chunking budget for extract_batch: bounds the HELD per-view state
+#: (the SAT stack consumed by the orientation/descriptor gathers); detection
+#: transients are per-view inside the lax.map body.
 HBM_BUDGET_BYTES = 4_000_000_000
 
 
@@ -402,7 +595,7 @@ def extract_batch(grays, per_octave_cap: int = 1024) -> SurfFeatures:
     reference-scale inputs the all-view response stack over-allocates the
     chip."""
     V, H, W = grays.shape
-    per_view_bytes = H * W * 4 * 60  # integral/response stacks + NMS masks + sort workspace
+    per_view_bytes = H * W * 4 * 3  # held SAT + packed keypoints + margin
     chunk = max(1, min(V, int(HBM_BUDGET_BYTES // max(per_view_bytes, 1))))
     if chunk < V:
         parts = [extract_batch(grays[i:i + chunk], per_octave_cap)
@@ -429,25 +622,37 @@ def extract_batch(grays, per_octave_cap: int = 1024) -> SurfFeatures:
                             desc=jnp.zeros((V, n_slots, 64), jnp.float32),
                             valid=valid_out)
 
-    B = _SURF_CHUNK
-    while B < n:
-        B *= 2
+    # Bucket keypoints by integer scale (the value _descriptor_block's
+    # scale.astype(int32) would produce — a small static set derived from
+    # KERNEL_SIZES) and run the per-scale Haar-map program per bucket.
     kxyz = kp_np[vi_np, ki_np, :3]
-    kp_flat = np.zeros((B, 4), np.float32)
-    kp_flat[:n, 0] = vi_np
-    kp_flat[:n, 1:] = kxyz
-    vi_slots = np.zeros((B, 2), np.int32)
-    vi_slots[:n, 0] = vi_np
-    vi_slots[:n, 1] = ki_np
-    vi_slots[n:, 1] = n_slots  # out-of-bounds → dropped by the scatter
-
-    packed, desc_slots = _ori_desc_flat(S, jnp.asarray(kp_flat),
-                                        jnp.asarray(vi_slots), n_slots)
-    packed_np = np.asarray(packed[:n])  # sync 2
+    s_int = kxyz[:, 2].astype(np.int32)
+    desc_slots = jnp.zeros((V, n_slots, 64), jnp.float32)
+    launched = []
+    for s_val in sorted(set(int(s) for s in np.unique(s_int))):
+        sel = np.flatnonzero(s_int == s_val)
+        ns = len(sel)
+        B = _SURF_CHUNK
+        while B < ns:
+            B *= 2
+        kp_flat = np.zeros((B, 4), np.float32)
+        kp_flat[:ns, 0] = vi_np[sel]
+        kp_flat[:ns, 1:] = kxyz[sel]
+        vi_slots = np.zeros((B, 2), np.int32)
+        vi_slots[:ns, 0] = vi_np[sel]
+        vi_slots[:ns, 1] = ki_np[sel]
+        vi_slots[ns:, 1] = n_slots  # out-of-bounds → dropped by the scatter
+        packed, dslots = _ori_desc_flat_s(S, jnp.asarray(kp_flat),
+                                          jnp.asarray(vi_slots), n_slots,
+                                          s_val)
+        desc_slots = desc_slots + dslots
+        launched.append((sel, ns, packed))
+    for sel, ns, packed in launched:  # pull after all buckets enqueue
+        packed_np = np.asarray(packed[:ns])  # sync 2 (per bucket)
+        ori_out[vi_np[sel], ki_np[sel]] = packed_np[:, 0]
+        valid_out[vi_np[sel], ki_np[sel]] = packed_np[:, 1] > 0.5
     xy[vi_np, ki_np] = kxyz[:, :2]
     scale_out[vi_np, ki_np] = kxyz[:, 2]
-    ori_out[vi_np, ki_np] = packed_np[:, 0]
-    valid_out[vi_np, ki_np] = packed_np[:, 1] > 0.5
     return SurfFeatures(xy=xy, scale=scale_out, orientation=ori_out,
                         desc=desc_slots, valid=valid_out)
 

@@ -25,6 +25,7 @@ from orthosfm_tpu.data.views import View
 from orthosfm_tpu.ops import matching as match_ops
 from orthosfm_tpu.ops import ransac_f, sift
 from orthosfm_tpu.pipeline import tracks_build
+from orthosfm_tpu.utils.profiling import stage as _stage
 
 
 @dataclasses.dataclass
@@ -57,30 +58,65 @@ def _bucket(n: int, step: int = 512) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
-def _pad_image_bucket(gray, step: int = 128):
-    """Edge-pad to the next (step × step) shape bucket so sift/surf extraction
-    compiles once per bucket instead of once per exact image shape (real
-    datasets mix sizes; every distinct (H, W) otherwise recompiles the whole
-    octave pyramid). Returns (padded, H_orig, W_orig)."""
-    H, W = gray.shape
-    Hp, Wp = -(-H // step) * step, -(-W // step) * step
-    if (Hp, Wp) == (H, W):
-        return gray, H, W
-    return jnp.pad(gray, ((0, Hp - H), (0, Wp - W)), mode="edge"), H, W
+import functools
 
 
-def _prepare_gray(view: View, config: ReconstructionConfig):
-    """Grayscale + MVE-style halving until ≤ max_image_pixels
-    (reference: bundler_features.cc:66-68) + shape-bucket padding. The gray
-    image stays on device end-to-end (only the compact uint8 RGB crosses the
-    transfer tunnel)."""
-    gray = sift.grayscale(jnp.asarray(view.pixels))
-    halvings = 0
-    while gray.shape[0] * gray.shape[1] > config.matching.max_image_pixels:
-        gray = sift.half_size_gaussian(gray)
+@functools.partial(jax.jit, static_argnames=("halvings", "pad_h", "pad_w"))
+def _prepare_gray_jit(sum_u16, halvings: int, pad_h: int, pad_w: int):
+    """One program: grayscale from channel sums → `halvings` MVE half-size
+    reductions → edge-pad to the (pad_h, pad_w) shape bucket, over a
+    (V, H, W) uint16 channel-sum stack. Batching this (vs per-view
+    dispatch) matters on the remote-dispatch runtime: 16 views × {gray,
+    halve×k, pad} was ~80 tiny program launches of pure launch overhead.
+
+    The host pre-sums the RGB channels into uint16 (exact: ≤ 3·255) so only
+    2 bytes/px cross the transfer tunnel instead of 3; the division below
+    reproduces sift.grayscale's mean/255 value (MVE DESATURATE_AVERAGE)
+    with one f32 rounding instead of three."""
+    gray = sum_u16.astype(jnp.float32) / (3.0 * 255.0)
+    for _ in range(halvings):
+        gray = jax.vmap(sift.half_size_gaussian)(gray)
+    H, W = gray.shape[1:]
+    if (H, W) != (pad_h, pad_w):
+        gray = jnp.pad(gray, ((0, 0), (0, pad_h - H), (0, pad_w - W)),
+                       mode="edge")
+    return gray
+
+
+def _halving_plan(H: int, W: int, max_pixels: int):
+    """(halvings, h, w) after MVE-style repeated half-size until ≤ max_pixels
+    (reference: bundler_features.cc:66-68)."""
+    halvings, h, w = 0, H, W
+    while h * w > max_pixels:
+        h, w = (h + 1) // 2, (w + 1) // 2
         halvings += 1
-    gray, h_orig, w_orig = _pad_image_bucket(gray)
-    return gray, halvings, h_orig, w_orig
+    return halvings, h, w
+
+
+def _prepare_grays(views: List[View], config: ReconstructionConfig):
+    """Per-view (gray_row, halvings, h_orig, w_orig) with one stacked
+    transfer + one device program per distinct input shape. The gray images
+    stay on device end-to-end (only the compact uint8 RGB crosses the
+    transfer tunnel)."""
+    by_shape = {}
+    for i, v in enumerate(views):
+        by_shape.setdefault(v.pixels.shape, []).append(i)
+    prepared = [None] * len(views)
+    for shape, idxs in by_shape.items():
+        H, W = shape[:2]
+        halvings, h, w = _halving_plan(H, W, config.matching.max_image_pixels)
+        pad_h, pad_w = -(-h // 128) * 128, -(-w // 128) * 128
+        # Per-view async uint16 channel-sum transfers + a device-side stack:
+        # one big host-side stack + single blocking transfer measured ~2.6×
+        # slower than overlapped per-view transfers on the tunnel, and the
+        # u16 sum is the cheapest exact grayscale precursor (2 B/px vs 3)
+        stack_u16 = jnp.stack([
+            jnp.asarray(np.sum(views[i].pixels, axis=-1, dtype=np.uint16))
+            for i in idxs])
+        gray = _prepare_gray_jit(stack_u16, halvings, pad_h, pad_w)
+        for bi, i in enumerate(idxs):
+            prepared[i] = (gray[bi], halvings, h, w)
+    return prepared
 
 
 def _assemble_features(view: View, config: ReconstructionConfig,
@@ -154,7 +190,8 @@ def extract_all_view_features(views: List[View],
     group's SIFT/SURF runs as ONE vmapped device program over the view stack —
     the TPU-first replacement for MVE's per-view omp loop
     (bundler_features.cc:40)."""
-    prepared = [_prepare_gray(v, config) for v in views]
+    with _stage("extract/prepare_gray"):
+        prepared = _prepare_grays(views, config)
     groups = {}
     for i, (gray, halvings, ho, wo) in enumerate(prepared):
         groups.setdefault((gray.shape, halvings), []).append(i)
@@ -162,21 +199,25 @@ def extract_all_view_features(views: List[View],
     out: List[ViewFeatures] = [None] * len(views)  # type: ignore[list-item]
     for (_, halvings), idxs in groups.items():
         stack = jnp.stack([prepared[i][0] for i in idxs])
-        fs = sift.extract_batch(stack,
-                                min_octave=config.matching.sift_min_octave)
-        fs_np = _features_host_dicts(fs)
+        with _stage("extract/sift"):
+            fs = sift.extract_batch(stack,
+                                    min_octave=config.matching.sift_min_octave)
+            fs_np = _features_host_dicts(fs)
         fu_np = None
         if config.matching.use_surf:
             from orthosfm_tpu.ops import surf as surf_mod
 
-            fu = surf_mod.extract_batch(stack)
-            fu_np = _features_host_dicts(fu)
-        for bi, i in enumerate(idxs):
-            s_i = {k: a[bi] for k, a in fs_np.items()}
-            u_i = ({k: a[bi] for k, a in fu_np.items()}
-                   if fu_np is not None else None)
-            out[i] = _assemble_features(views[i], config, s_i, u_i, halvings,
-                                        prepared[i][2], prepared[i][3])
+            with _stage("extract/surf"):
+                fu = surf_mod.extract_batch(stack)
+                fu_np = _features_host_dicts(fu)
+        with _stage("extract/assemble"):
+            for bi, i in enumerate(idxs):
+                s_i = {k: a[bi] for k, a in fs_np.items()}
+                u_i = ({k: a[bi] for k, a in fu_np.items()}
+                       if fu_np is not None else None)
+                out[i] = _assemble_features(views[i], config, s_i, u_i,
+                                            halvings,
+                                            prepared[i][2], prepared[i][3])
     return out
 
 
@@ -191,19 +232,23 @@ def _stack_descriptors(descs, cap):
     return jnp.stack(padded), counts
 
 
-def _batched_pair_matches(stack, counts, pairs, ratio, pair_valid_n=None):
+def _batched_pair_matches(stack, counts, pairs, ratio, pair_valid_n=None,
+                          mesh=None):
     """Run match_pairs_batched over `pairs` in MXU-friendly chunks.
 
     stack: (V, N, D) device; counts: (V,) host; pairs: list of (i, j).
     pair_valid_n: optional (P, 2) per-pair valid-count override (lowres gate).
+    mesh: optional device mesh — the pair axis of every chunk shards over it
+    (parallel/matching_sharded.py), each device matching its pair shard.
     Returns (P, N) int matches array (np — the downstream gates are host
     logic; one small pull per chunk)."""
     P = len(pairs)
     N = stack.shape[1]
     if P == 0:
         return np.zeros((0, N), np.int64)
-    # Cap batch so the (B, N, N) similarity block stays ≲1 GB
-    B = max(1, min(P, (1 << 28) // max(N * N, 1)))
+    n_dev = mesh.devices.size if mesh is not None else 1
+    # Cap batch so the (B, N, N) similarity block stays ≲1 GB per device
+    B = max(1, min(P, n_dev * ((1 << 28) // max(N * N, 1))))
     iota = np.arange(N)
     out = np.zeros((P, N), np.int64)
     results = []
@@ -215,16 +260,25 @@ def _batched_pair_matches(stack, counts, pairs, ratio, pair_valid_n=None):
         cj = counts[bj] if pair_valid_n is None else pair_valid_n[s:s + B, 1]
         v1 = jnp.asarray(iota[None, :] < ci[:, None])
         v2 = jnp.asarray(iota[None, :] < cj[:, None])
-        results.append(match_ops.match_pairs_batched(
-            stack[jnp.asarray(bi)], v1, stack[jnp.asarray(bj)], v2,
-            lowe_ratio=float(ratio)))
+        d1, d2 = stack[jnp.asarray(bi)], stack[jnp.asarray(bj)]
+        if mesh is not None:
+            from orthosfm_tpu.parallel import matching_sharded
+
+            results.append(matching_sharded.run_over_pairs(
+                mesh,
+                lambda a, va, b, vb: match_ops.match_pairs_batched(
+                    a, va, b, vb, lowe_ratio=float(ratio)),
+                d1, v1, d2, v2))
+        else:
+            results.append(match_ops.match_pairs_batched(
+                d1, v1, d2, v2, lowe_ratio=float(ratio)))
     for s, m12 in zip(range(0, P, B), results):  # pull after all enqueue
         out[s:s + m12.shape[0]] = np.asarray(m12)
     return out
 
 
 def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
-                    verbose: bool = True):
+                    verbose: bool = True, mesh=None):
     """Exhaustive pairwise matching with gates; returns
     [(i, j, idx_i, idx_j), ...] inlier match lists.
 
@@ -232,8 +286,17 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
     loop (bundler_matching.cc:74-96), descriptors stack into (V, N, D)
     tensors once and the low-res gate + full SIFT/SURF matching run as
     BATCHED device programs over pair chunks — one compiled program for the
-    whole stage, MXU-saturating similarity matmuls, no per-pair dispatch."""
+    whole stage, MXU-saturating similarity matmuls, no per-pair dispatch.
+    With a mesh, every batched pair program (similarity matmuls AND the
+    RANSAC verification) shards its pair axis over the devices
+    (parallel/matching_sharded.py) with per-pair keys, reproducing the
+    single-device results bit-for-bit."""
     m = config.matching
+    if m.matcher not in ("cascade_hashing", "exhaustive"):
+        raise ValueError(f"unknown matcher {m.matcher!r} "
+                         "(expected 'cascade_hashing' or 'exhaustive')")
+    # Both engines run the exact exhaustive MXU matcher — see
+    # MatchingConfig.matcher for why cascade hashing maps onto it on TPU.
     n_views = len(features)
     key = jax.random.PRNGKey(config.seed + 7919)
     all_pairs = [(i, j) for i in range(n_views) for j in range(i + 1, n_views)
@@ -260,20 +323,24 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
     for kind, gpairs in gated_by_type.items():
         if not gpairs:
             continue
-        if kind == "sift":
-            per_view = [(f.scale[:f.n_sift], f.sift_desc) for f in features]
-            ratio = m.lowe_ratio
-        else:
-            per_view = [(f.scale[f.n_sift:], f.surf_desc) for f in features]
-            ratio = m.surf_lowe_ratio
-        nlow_cap = min(m.lowres_feature_count,
-                       max(max(s.shape[0] for s, _ in per_view), 1))
-        low_descs = []
-        for scale, desc in per_view:
-            order = np.argsort(-scale)[:nlow_cap]
-            low_descs.append(desc[jnp.asarray(order, jnp.int32)])
-        low_stack, low_counts = _stack_descriptors(low_descs, nlow_cap)
-        m_low = _batched_pair_matches(low_stack, low_counts, gpairs, ratio)
+        with _stage("match/lowres_gate"):
+            if kind == "sift":
+                per_view = [(f.scale[:f.n_sift], f.sift_desc)
+                            for f in features]
+                ratio = m.lowe_ratio
+            else:
+                per_view = [(f.scale[f.n_sift:], f.surf_desc)
+                            for f in features]
+                ratio = m.surf_lowe_ratio
+            nlow_cap = min(m.lowres_feature_count,
+                           max(max(s.shape[0] for s, _ in per_view), 1))
+            low_descs = []
+            for scale, desc in per_view:
+                order = np.argsort(-scale)[:nlow_cap]
+                low_descs.append(desc[jnp.asarray(order, jnp.int32)])
+            low_stack, low_counts = _stack_descriptors(low_descs, nlow_cap)
+            m_low = _batched_pair_matches(low_stack, low_counts, gpairs,
+                                          ratio, mesh=mesh)
         for p, row in zip(gpairs, m_low):
             if int((row >= 0).sum()) < m.lowres_match_threshold:
                 passed[p] = False
@@ -283,19 +350,22 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
     pairs = [p for p in all_pairs if passed[p]]
 
     # --- Full SIFT + SURF matching, batched per descriptor type
-    ns_cap = _bucket(max(f.n_sift for f in features))
-    sift_stack, sift_counts = _stack_descriptors(
-        [f.sift_desc for f in features], ns_cap)
-    m_sift = _batched_pair_matches(sift_stack, sift_counts, pairs, m.lowe_ratio)
-    nu_max = max(f.surf_desc.shape[0] for f in features)
-    if nu_max > 0:
-        nu_cap = _bucket(nu_max)
-        surf_stack, surf_counts = _stack_descriptors(
-            [f.surf_desc for f in features], nu_cap)
-        m_surf = _batched_pair_matches(surf_stack, surf_counts, pairs,
-                                       m.surf_lowe_ratio)
-    else:
-        m_surf = np.zeros((len(pairs), 0), np.int64)
+    with _stage("match/full_sift"):
+        ns_cap = _bucket(max(f.n_sift for f in features))
+        sift_stack, sift_counts = _stack_descriptors(
+            [f.sift_desc for f in features], ns_cap)
+        m_sift = _batched_pair_matches(sift_stack, sift_counts, pairs,
+                                       m.lowe_ratio, mesh=mesh)
+    with _stage("match/full_surf"):
+        nu_max = max(f.surf_desc.shape[0] for f in features)
+        if nu_max > 0:
+            nu_cap = _bucket(nu_max)
+            surf_stack, surf_counts = _stack_descriptors(
+                [f.surf_desc for f in features], nu_cap)
+            m_surf = _batched_pair_matches(surf_stack, surf_counts, pairs,
+                                           m.surf_lowe_ratio, mesh=mesh)
+        else:
+            m_surf = np.zeros((len(pairs), 0), np.int64)
 
     # --- Combine per-type match lists and apply the match-count gate
     candidates = []  # (i, j, idx_i, idx_j)
@@ -339,18 +409,34 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
             p1[pi, :len(idx_i)] = features[i].xy[idx_i]
             p2[pi, :len(idx_i)] = features[j].xy[idx_j]
             valid[pi, :len(idx_i)] = True
-        # Chunk so the (chunk, iterations, M) transfer-error blocks stay ≲0.5 GB
-        chunk = max(1, (1 << 27) // max(m.homography_iterations * M, 1))
+        # Chunk so the (chunk, iterations, M) transfer-error blocks stay
+        # ≲0.5 GB per device
+        n_dev = mesh.devices.size if mesh is not None else 1
+        chunk = max(1, n_dev * ((1 << 27)
+                                // max(m.homography_iterations * M, 1)))
         key, k = jax.random.split(key)
+        # Per-pair keys split once over ALL candidates: the draws are then
+        # independent of chunk size and of the device count
+        all_keys = jax.random.split(k, P)
         for s in range(0, P, chunk):
-            res = ransac_h.find_homography_batched(
-                jnp.asarray(p1[s:s + chunk]), jnp.asarray(p2[s:s + chunk]),
-                jnp.asarray(valid[s:s + chunk]), jax.random.fold_in(k, s),
-                iterations=m.homography_iterations,
-                threshold_px=m.homography_threshold_px,
-                find_threshold_px=m.homography_find_threshold_px)
-            num_inl = np.asarray(res.num_inliers)
-            inliers = np.asarray(res.inliers)
+            with _stage("match/verify_ransac"):
+                args = (jnp.asarray(p1[s:s + chunk]),
+                        jnp.asarray(p2[s:s + chunk]),
+                        jnp.asarray(valid[s:s + chunk]),
+                        all_keys[s:s + chunk])
+                fn = functools.partial(
+                    ransac_h.find_homography_batched_keys,
+                    iterations=m.homography_iterations,
+                    threshold_px=m.homography_threshold_px,
+                    find_threshold_px=m.homography_find_threshold_px)
+                if mesh is not None:
+                    from orthosfm_tpu.parallel import matching_sharded
+
+                    res = matching_sharded.run_over_pairs(mesh, fn, *args)
+                else:
+                    res = fn(*args)
+                num_inl = np.asarray(res.num_inliers)
+                inliers = np.asarray(res.inliers)
             for ci in range(len(num_inl)):
                 i, j, idx_i, idx_j = candidates[s + ci]
                 n_inl = int(num_inl[ci])
@@ -377,16 +463,32 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
             p2[pi, :len(idx_i)] = features[j].norm_xy[idx_j]
             valid[pi, :len(idx_i)] = True
         # Chunk so the (chunk, iterations, M) Sampson blocks stay ≲0.5 GB
-        chunk = max(1, (1 << 27) // max(m.ransac_f_iterations * M, 1))
+        # per device
+        n_dev = mesh.devices.size if mesh is not None else 1
+        chunk = max(1, n_dev * ((1 << 27)
+                                // max(m.ransac_f_iterations * M, 1)))
         key, k = jax.random.split(key)
+        # Per-pair keys split once over ALL candidates: the draws are then
+        # independent of chunk size and of the device count
+        all_keys = jax.random.split(k, P)
         for s in range(0, P, chunk):
-            res = ransac_f.ransac_fundamental_batched(
-                jnp.asarray(p1[s:s + chunk]), jnp.asarray(p2[s:s + chunk]),
-                jnp.asarray(valid[s:s + chunk]), jax.random.fold_in(k, s),
-                iterations=m.ransac_f_iterations,
-                threshold=m.ransac_f_threshold)
-            num_inl = np.asarray(res.num_inliers)
-            inliers = np.asarray(res.inliers)
+            with _stage("match/verify_ransac"):
+                args = (jnp.asarray(p1[s:s + chunk]),
+                        jnp.asarray(p2[s:s + chunk]),
+                        jnp.asarray(valid[s:s + chunk]),
+                        all_keys[s:s + chunk])
+                fn = functools.partial(
+                    ransac_f.ransac_fundamental_batched_keys,
+                    iterations=m.ransac_f_iterations,
+                    threshold=m.ransac_f_threshold)
+                if mesh is not None:
+                    from orthosfm_tpu.parallel import matching_sharded
+
+                    res = matching_sharded.run_over_pairs(mesh, fn, *args)
+                else:
+                    res = fn(*args)
+                num_inl = np.asarray(res.num_inliers)
+                inliers = np.asarray(res.inliers)
             for ci in range(len(num_inl)):
                 i, j, idx_i, idx_j = candidates[s + ci]
                 n_inl = int(num_inl[ci])
@@ -405,29 +507,42 @@ def match_all_pairs(features: List[ViewFeatures], config: ReconstructionConfig,
 
 
 def build_tracks(views: List[View], config: ReconstructionConfig,
-                 verbose: bool = True) -> tracks_mod.TrackSet:
-    """Full matching stage: SIFT → pairwise matching → union-find tracks."""
+                 verbose: bool = True, mesh=None) -> tracks_mod.TrackSet:
+    """Full matching stage: SIFT → pairwise matching → union-find tracks.
+
+    mesh: optional device mesh — pairwise matching + RANSAC verification
+    shard their pair axis over it (multi-device results are bit-identical
+    to single-device, tests/test_parallel.py)."""
     features = extract_all_view_features(views, config)
     if verbose:
         for v, f in zip(views, features):
             print(f"{v.display_name} {f.count} features "
                   f"({f.n_sift} SIFT + {f.count - f.n_sift} SURF)")
-    pair_matches = match_all_pairs(features, config, verbose=verbose)
-    feature_counts = [f.count for f in features]
-    raw_tracks = tracks_build.build_tracks(pair_matches, feature_counts)
+    pair_matches = match_all_pairs(features, config, verbose=verbose,
+                                   mesh=mesh)
+    return tracks_from_matches(views, features, pair_matches)
 
-    view_ids = np.asarray([v.view_id for v in views], np.int32)
-    track_list = []
-    for t_id, members in enumerate(raw_tracks):
-        feats = []
-        for (vi, fi) in members:
-            x, y = features[vi].xy[fi]
-            gid = vi * (1 << 20) + fi
-            feats.append((int(view_ids[vi]), int(fi), int(gid),
-                          float(x), float(y), 0, 0, 0))
-        track_list.append(feats)
-    return tracks_mod.from_feature_lists(track_list, view_ids,
-                                         capacity=max(len(track_list), 1))
+
+def tracks_from_matches(views: List[View], features: List[ViewFeatures],
+                        pair_matches) -> tracks_mod.TrackSet:
+    """Union-find + TrackSet assembly from verified pairwise matches."""
+    with _stage("tracks/union_find"):
+        feature_counts = [f.count for f in features]
+        raw_tracks = tracks_build.build_tracks(pair_matches, feature_counts)
+
+    with _stage("tracks/assemble"):
+        view_ids = np.asarray([v.view_id for v in views], np.int32)
+        track_list = []
+        for t_id, members in enumerate(raw_tracks):
+            feats = []
+            for (vi, fi) in members:
+                x, y = features[vi].xy[fi]
+                gid = vi * (1 << 20) + fi
+                feats.append((int(view_ids[vi]), int(fi), int(gid),
+                              float(x), float(y), 0, 0, 0))
+            track_list.append(feats)
+        return tracks_mod.from_feature_lists(track_list, view_ids,
+                                             capacity=max(len(track_list), 1))
 
 
 def filter_duplicate_tracks(tracks):
