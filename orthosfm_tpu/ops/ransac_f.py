@@ -73,6 +73,24 @@ def ransac_fundamental(p1, p2, valid, key, iterations: int = 1000,
 
 
 @functools.partial(jax.jit, static_argnames=("iterations",))
+def ransac_fundamental_batched_keys(p1, p2, valid, keys,
+                                    iterations: int = 1000,
+                                    threshold: float = 0.0015
+                                    ) -> RansacFResult:
+    """Pair-batched RANSAC-F with explicit per-pair PRNG keys (P, 2).
+
+    The keyed form makes the per-pair randomness independent of how the
+    batch is chunked or sharded: the pair-sharded multi-device path
+    (parallel/matching_sharded.py) passes each device its key shard and
+    reproduces the single-device matches bit-for-bit."""
+    return jax.vmap(
+        lambda a, b, v, k: ransac_fundamental(a, b, v, k,
+                                              iterations=iterations,
+                                              threshold=threshold)
+    )(p1, p2, valid, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
 def ransac_fundamental_batched(p1, p2, valid, key, iterations: int = 1000,
                                threshold: float = 0.0015) -> RansacFResult:
     """Pair-batched RANSAC-F: p1, p2 (P, M, 2); valid (P, M).
@@ -81,8 +99,6 @@ def ransac_fundamental_batched(p1, p2, valid, key, iterations: int = 1000,
     per-pair dispatch of the host loop disappears); semantics per pair are
     identical to ransac_fundamental. Returns stacked RansacFResult fields."""
     keys = jax.random.split(key, p1.shape[0])
-    return jax.vmap(
-        lambda a, b, v, k: ransac_fundamental(a, b, v, k,
-                                              iterations=iterations,
-                                              threshold=threshold)
-    )(p1, p2, valid, keys)
+    return ransac_fundamental_batched_keys(p1, p2, valid, keys,
+                                           iterations=iterations,
+                                           threshold=threshold)

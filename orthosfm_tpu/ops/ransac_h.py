@@ -95,6 +95,22 @@ def find_homography(p1, p2, valid, key, iterations: int = 10000,
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "refine_loops"))
+def find_homography_batched_keys(p1, p2, valid, keys,
+                                 iterations: int = 10000,
+                                 threshold_px: float = 30.0,
+                                 find_threshold_px: float = 60.0,
+                                 refine_loops: int = 50) -> RansacHResult:
+    """Pair-batched find_homography with explicit per-pair keys (P, 2) —
+    chunking/sharding-invariant randomness (see
+    ransac_f.ransac_fundamental_batched_keys)."""
+    return jax.vmap(
+        lambda a, b, v, k: find_homography(
+            a, b, v, k, iterations=iterations, threshold_px=threshold_px,
+            find_threshold_px=find_threshold_px, refine_loops=refine_loops)
+    )(p1, p2, valid, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "refine_loops"))
 def find_homography_batched(p1, p2, valid, key, iterations: int = 10000,
                             threshold_px: float = 30.0,
                             find_threshold_px: float = 60.0,
@@ -105,8 +121,7 @@ def find_homography_batched(p1, p2, valid, key, iterations: int = 10000,
     fundamental-matrix path has."""
     P = p1.shape[0]
     keys = jax.random.split(key, P)
-    return jax.vmap(
-        lambda a, b, v, k: find_homography(
-            a, b, v, k, iterations=iterations, threshold_px=threshold_px,
-            find_threshold_px=find_threshold_px, refine_loops=refine_loops)
-    )(p1, p2, valid, keys)
+    return find_homography_batched_keys(
+        p1, p2, valid, keys, iterations=iterations,
+        threshold_px=threshold_px, find_threshold_px=find_threshold_px,
+        refine_loops=refine_loops)

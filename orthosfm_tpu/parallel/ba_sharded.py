@@ -30,16 +30,21 @@ from orthosfm_tpu.solvers import ba
 
 
 def make_sharded_ba(mesh, optimize_points: bool = True,
-                    config: BundleAdjustConfig = BundleAdjustConfig()):
+                    config: BundleAdjustConfig = BundleAdjustConfig(),
+                    impl: str | None = None):
     """Build a jitted distributed BA function over the given mesh.
 
     Returns run(cams, points4, obs, mask) -> BAResult with identical semantics
     to solvers.ba.run. Track-dimension inputs must be divisible by the mesh
     size (use pad_tracks). On TPU meshes each device runs the fused Pallas
     LM kernels on its track shard (when config.use_pallas); elsewhere the
-    pure-XLA path."""
-    platform = mesh.devices.flat[0].platform
-    impl = "pallas" if (config.use_pallas and platform in ("tpu", "axon")) else "xla"
+    pure-XLA path. `impl` pins the per-shard solver explicitly ("pallas" |
+    "xla") — tests use it to run the Pallas branch in interpret mode on the
+    virtual CPU mesh (with solvers.ba_pallas.INTERPRET set)."""
+    if impl is None:
+        platform = mesh.devices.flat[0].platform
+        impl = ("pallas" if (config.use_pallas
+                             and platform in ("tpu", "axon")) else "xla")
 
     psum = functools.partial(jax.lax.psum, axis_name=TRACK_AXIS)
     replicated = P()

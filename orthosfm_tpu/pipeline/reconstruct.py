@@ -47,7 +47,8 @@ def reconstruct(config: ReconstructionConfig, verbose: bool = True, mesh=None
     else:
         from orthosfm_tpu.pipeline import matching as matching_mod
 
-        tracks = matching_mod.build_tracks(views, config, verbose=verbose)
+        tracks = matching_mod.build_tracks(views, config, verbose=verbose,
+                                           mesh=mesh)
         tracks = track_utils.filter_tracks_with_masks(tracks, views)
         tracks = track_utils.propagate_colors(tracks, views)
         if verbose:

@@ -81,6 +81,42 @@ def test_sharded_tk_matches_expectation():
     assert min(err(res.model1), err(res.model2)) < 1.5
 
 
+def test_sharded_pallas_branch_interpret():
+    """Exercise make_sharded_ba's impl="pallas" branch (ba_sharded.py:70-90's
+    TILE padding + psum wiring) on the virtual CPU mesh via interpret-mode
+    kernels. On real hardware this branch only runs on a multi-chip TPU mesh,
+    so this is its only CI coverage (round-4 VERDICT item 8)."""
+    from orthosfm_tpu.config import BundleAdjustConfig
+    from orthosfm_tpu.solvers import ba_pallas
+
+    cams, pts, obs, mask = _problem()
+    cfg = BundleAdjustConfig(max_iterations=8)
+    m = mesh_mod.make_mesh(8)
+    (pts_p, obs_p, mask_p), t = ba_sharded.pad_tracks([pts, obs, mask], 8)
+
+    old = ba_pallas.INTERPRET
+    ba_pallas.INTERPRET = True
+    try:
+        run_p = ba_sharded.make_sharded_ba(m, config=cfg, impl="pallas")
+        res_p = run_p(cams, pts_p, obs_p, mask_p)
+        cost_p = float(res_p.cost)
+    finally:
+        ba_pallas.INTERPRET = old
+
+    run_x = ba_sharded.make_sharded_ba(m, config=cfg, impl="xla")
+    res_x = run_x(cams, pts_p, obs_p, mask_p)
+    # Both paths must drive the cost down hard and land on the same optimum;
+    # the kernels use different reduction orders, so near the (tiny) floor
+    # the costs agree only loosely.
+    assert cost_p < 1e-2 * float(res_p.initial_cost)
+    assert float(res_x.cost) < 1e-2 * float(res_x.initial_cost)
+    np.testing.assert_allclose(cost_p, float(res_x.cost), rtol=0.25)
+    q_p = np.asarray(quat.normalize(res_p.cams.rot))
+    q_x = np.asarray(quat.normalize(res_x.cams.rot))
+    dots = np.abs(np.sum(q_p * q_x, axis=-1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-4)
+
+
 def test_sharded_tk_bitmatches_single_device():
     """Hypothesis padding to the mesh multiple must not change RANSAC
     semantics: padded hypotheses are key-duplicates masked to −inf, so the
