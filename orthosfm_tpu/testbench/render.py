@@ -204,19 +204,127 @@ class RingsScene(BlobScene):
         self.radii = np.full(len(self.centers), tube_radius)
 
 
+class PointCloudScene:
+    """Surface rendered from a vertex cloud as a union of small spheres, with
+    the per-pixel nearest-hit search run as chunked JAX programs (the o·c
+    term of the |o − c|² expansion is an (N, 3)·(3, P) matmul, so the whole
+    intersect maps onto the MXU/VPU; ~P·N ops would crawl as a Python loop).
+
+    This is the hermetic counterpart of the reference's Suzanne image sets:
+    the reference ships only `resources/Suzanne.ply` vertices (its image
+    datasets are external Blender renders, README.md:24-27), so the surface
+    here is the vertex cloud itself inflated by ~1.5× its nearest-neighbour
+    spacing — closed enough for stable silhouettes, bumpy enough for texture.
+    """
+
+    def __init__(self, points: np.ndarray, radius: float | None = None,
+                 chunk: int = 16384):
+        self.points = np.asarray(points, np.float32)
+        if radius is None:
+            radius = 1.5 * _median_nn_spacing(self.points)
+        self.radius = float(radius)
+        self.chunk = chunk
+        self._intersect_jit = None
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+
+        c = jnp.asarray(self.points)  # (P, 3)
+        r2 = self.radius * self.radius
+        c_sq = jnp.sum(c * c, axis=-1)  # (P,)
+
+        @jax.jit
+        def one_chunk(o, d):
+            od = o @ d  # (N,)
+            cd = c @ d  # (P,)
+            b = od[:, None] - cd[None, :]  # (N, P)
+            oc = o @ c.T  # (N, P) — MXU
+            dist2 = jnp.sum(o * o, -1)[:, None] + c_sq[None, :] - 2.0 * oc
+            disc = b * b - dist2 + r2
+            hit = disc > 0.0
+            t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = jnp.where(hit, t, jnp.inf)
+            idx = jnp.argmin(t, axis=-1)  # (N,)
+            t_best = jnp.take_along_axis(t, idx[:, None], -1)[:, 0]
+            ok = jnp.isfinite(t_best)
+            p = o + jnp.where(ok, t_best, 0.0)[:, None] * d
+            n = (p - c[idx]) / self.radius
+            return ok, p, n
+
+        self._intersect_jit = one_chunk
+
+    def intersect(self, origins, d):
+        import jax.numpy as jnp
+
+        if self._intersect_jit is None:
+            self._build()
+        shape = origins.shape[:-1]
+        o_flat = np.asarray(origins, np.float32).reshape(-1, 3)
+        d32 = jnp.asarray(np.asarray(d, np.float32))
+        N = o_flat.shape[0]
+        hits, ps, ns = [], [], []
+        for s in range(0, N, self.chunk):
+            o = jnp.asarray(o_flat[s:s + self.chunk])
+            ok, p, n = self._intersect_jit(o, d32)
+            hits.append(np.asarray(ok))
+            ps.append(np.asarray(p))
+            ns.append(np.asarray(n))
+        hit = np.concatenate(hits).reshape(shape)
+        p = np.concatenate(ps).reshape(*shape, 3).astype(np.float64)
+        n = np.concatenate(ns).reshape(*shape, 3).astype(np.float64)
+        return hit, p, n
+
+
+def _median_nn_spacing(pts: np.ndarray, sample: int = 2000,
+                       seed: int = 0) -> float:
+    """Median nearest-neighbour distance over a sample of the cloud.
+    Exported PLYs often duplicate vertices per flat-shaded face (Blender's
+    Suzanne does), which would put the NN spacing at exactly 0 — dedupe
+    first and floor the result by the cloud extent."""
+    pts = np.unique(np.asarray(pts, np.float32), axis=0)
+    rng = np.random.default_rng(seed)
+    idx = (rng.choice(len(pts), sample, replace=False)
+           if len(pts) > sample else np.arange(len(pts)))
+    sub = pts[idx]
+    d2 = np.sum((sub[:, None] - pts[None]) ** 2, -1)
+    d2[np.arange(len(sub)), idx] = np.inf
+    spacing = float(np.median(np.sqrt(d2.min(axis=1))))
+    extent = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+    return max(spacing, 1e-3 * extent)
+
+
+def suzanne_scene(seed: int = 0):
+    """Suzanne vertex cloud from the reference resources
+    (src/testbench/dataset_generation.cpp:95-137 loads the same PLY for the
+    synthetic track tests), rendered as a PointCloudScene; falls back to the
+    blob scene when the resource directory isn't mounted."""
+    from orthosfm_tpu.data import synthetic
+
+    pts = synthetic.reference_cloud("Suzanne")
+    if pts is None:
+        return BlobScene(seed=seed + 31)
+    return PointCloudScene(pts)
+
+
 SCENES = {
     "sphere": lambda seed: SphereScene(),
     "blob": lambda seed: BlobScene(seed=seed + 31),
     "cube": lambda seed: CubeScene(),
     "ornament_cube": lambda seed: ornament_cube_scene(),
     "rings": lambda seed: RingsScene(),
+    "suzanne": suzanne_scene,
 }
 
 
 def render_views(gt_cams: cam_mod.CameraSet, width: int, height: int,
                  scene, texture: FourierTexture3D | None = None,
-                 ) -> List[np.ndarray]:
-    """Ray-trace each camera's orthographic view of the scene."""
+                 return_masks: bool = False):
+    """Ray-trace each camera's orthographic view of the scene.
+
+    With return_masks, also returns per-view uint8 foreground masks (255
+    where a scene surface is hit) in the reference's mask convention —
+    brightness > 16 = foreground (src/data_structures/view.cpp:100-112)."""
     texture = texture or FourierTexture3D()
     R_all = np.asarray(cam_mod.basis(gt_cams), np.float64)  # (V, 3, 3)
     o_all = np.einsum("vij,j->vi", R_all, [0.0, 0.0, -cam_mod.CAMERA_DISTANCE])
@@ -228,6 +336,7 @@ def render_views(gt_cams: cam_mod.CameraSet, width: int, height: int,
     px, py = np.meshgrid(xs, ys)  # (H, W)
 
     images = []
+    masks = []
     for v in range(len(gt_cams)):
         R = R_all[v]
         # Pixel → point on camera plane (reference: OrthographicCamera.cpp:187-193)
@@ -244,6 +353,10 @@ def render_views(gt_cams: cam_mod.CameraSet, width: int, height: int,
         shade[hit] = tex * lam[hit]
         g = (np.clip(shade, 0, 1) * 255).astype(np.uint8)
         images.append(np.stack([g, g, g], axis=-1))
+        if return_masks:
+            masks.append(np.where(hit, 255, 0).astype(np.uint8))
+    if return_masks:
+        return images, masks
     return images
 
 
@@ -255,25 +368,72 @@ def render_sphere_views(gt_cams: cam_mod.CameraSet, width: int, height: int,
                         texture=texture)
 
 
+def trajectory_angles(trajectory: str, num_views: int, ring_degrees: float,
+                      theta_range: float, roll_range: float,
+                      rng: np.random.Generator) -> np.ndarray:
+    """(V, 3) [phi, theta, roll] GT camera angles for a named trajectory
+    family (the reference's eval sets come in Circle / 3Lat / 3Lat_rotated
+    variants, full_pipeline_tests.cpp:404-412):
+
+    circle        — one ring at the equator with small random theta/roll
+                    jitter (view 0 pinned to identity);
+    3lat          — three latitude bands (theta = +lat, 0, −lat), each a
+                    phi ring, roll = 0 everywhere. Needs a solver with a
+                    vertical dof (the reference accordingly drops
+                    EULER_HORIZONTAL on its 3Lat sets, :428-439);
+    3lat_rotated  — 3lat with per-view random roll ∈ ±roll_range — needs the
+                    full-dof Euler or quaternion solver (the reference keeps
+                    only those for *_rotated, :428-439).
+    """
+    if trajectory == "circle":
+        phis = np.deg2rad(np.linspace(0.0, ring_degrees, num_views,
+                                      endpoint=False))
+        thetas = np.deg2rad(rng.uniform(-theta_range, theta_range, num_views))
+        rolls = np.deg2rad(rng.uniform(-roll_range, roll_range, num_views))
+        thetas[0] = rolls[0] = 0.0
+        return np.stack([phis, thetas, rolls], -1).astype(np.float32)
+    if trajectory in ("3lat", "3lat_rotated"):
+        lat = np.deg2rad(max(theta_range, 20.0))
+        band_theta = [lat, 0.0, -lat]
+        counts = [num_views - 2 * (num_views // 3), num_views // 3,
+                  num_views // 3]
+        phis, thetas, rolls = [], [], []
+        for b, (th, n) in enumerate(zip(band_theta, counts)):
+            # Stagger bands by half a step so columns don't repeat exactly
+            ph = np.linspace(0.0, ring_degrees, n, endpoint=False)
+            ph += b * ring_degrees / max(n, 1) / 3.0
+            phis += list(np.deg2rad(ph))
+            thetas += [th] * n
+            if trajectory == "3lat_rotated":
+                rolls += list(np.deg2rad(
+                    rng.uniform(-max(roll_range, 15.0),
+                                max(roll_range, 15.0), n)))
+            else:
+                rolls += [0.0] * n
+        return np.stack([phis, thetas, rolls], -1).astype(np.float32)
+    raise ValueError(f"unknown trajectory {trajectory!r}")
+
+
 def make_image_dataset(folder: str, num_views: int = 8, width: int = 256,
                        height: int = 256, seed: int = 0,
                        theta_range: float = 10.0, roll_range: float = 6.0,
                        ring_degrees: float = 360.0, radius: float = 0.75,
-                       scene: str = "sphere"):
+                       scene: str = "sphere", trajectory: str = "circle",
+                       mask_folder: str = ""):
     """Write a synthetic rendered image dataset; returns GT cameras.
 
-    scene: "sphere" (default), "blob", or "cube" — see module docstring.
-    """
+    scene: "sphere" (default), "blob", "cube", "ornament_cube", "rings" or
+    "suzanne" — see module docstring. trajectory: "circle" | "3lat" |
+    "3lat_rotated" (trajectory_angles). mask_folder: also write per-view
+    foreground masks `{name}_mask.png` there (reference mask discovery:
+    src/data_structures/view.cpp:84-98)."""
     import os
 
     from PIL import Image
 
     rng = np.random.default_rng(seed)
-    phis = np.deg2rad(np.linspace(0.0, ring_degrees, num_views, endpoint=False))
-    thetas = np.deg2rad(rng.uniform(-theta_range, theta_range, num_views))
-    rolls = np.deg2rad(rng.uniform(-roll_range, roll_range, num_views))
-    thetas[0] = rolls[0] = 0.0
-    angles = np.stack([phis, thetas, rolls], -1).astype(np.float32)
+    angles = trajectory_angles(trajectory, num_views, ring_degrees,
+                               theta_range, roll_range, rng)
     gt = cam_mod.make_euler(np.arange(num_views), width, height, angles=angles)
 
     texture = FourierTexture3D(seed=seed + 17)
@@ -281,8 +441,14 @@ def make_image_dataset(folder: str, num_views: int = 8, width: int = 256,
         sc = SphereScene(radius=radius)
     else:
         sc = SCENES[scene](seed)
-    images = render_views(gt, width, height, sc, texture=texture)
+    images, masks = render_views(gt, width, height, sc, texture=texture,
+                                 return_masks=True)
     os.makedirs(folder, exist_ok=True)
     for i, img in enumerate(images):
         Image.fromarray(img).save(os.path.join(folder, f"view_{i:02d}.png"))
+    if mask_folder:
+        os.makedirs(mask_folder, exist_ok=True)
+        for i, mk in enumerate(masks):
+            Image.fromarray(mk).save(
+                os.path.join(mask_folder, f"view_{i:02d}_mask.png"))
     return gt

@@ -69,11 +69,15 @@ def main(argv=None) -> int:
 
     dataset_names = []
     supported = {}
+    masked = {}
     if args.generate:
         from orthosfm_tpu.testbench import render
 
-        for (name, scene, ring, min_views, width, theta, roll,
-             solvers) in dataset_matrix(args.width):
+        for row in dataset_matrix(args.width):
+            (name, scene, ring, min_views, width, theta, roll,
+             solvers) = row[:8]
+            trajectory = row[8] if len(row) > 8 else "circle"
+            with_masks = row[9] if len(row) > 9 else False
             # A closed ring needs enough views that neighbours still match
             # (≤ ~30° apart); an arc can use the requested count directly.
             n_views = max(args.num_views, min_views)
@@ -83,15 +87,19 @@ def main(argv=None) -> int:
             # The reference pins every seed for exactly this reason
             # (src/matching/matching_mve.cpp:55-56).
             seed = sum(name.encode()) % 1000
+            mask_dir = os.path.join(ds_dir, "masks") if with_masks else ""
             gt = render.make_image_dataset(
                 os.path.join(ds_dir, "images"), num_views=n_views,
                 width=width, height=width, seed=seed, ring_degrees=ring,
-                theta_range=theta, roll_range=roll, scene=scene)
+                theta_range=theta, roll_range=roll, scene=scene,
+                trajectory=trajectory, mask_folder=mask_dir)
             names = [f"view_{i:02d}.png" for i in range(n_views)]
             full_pipeline.write_references(
                 os.path.join(ds_dir, "references.txt"), gt, names)
             dataset_names.append(name)
             supported[name] = solvers
+            if with_masks:
+                masked[name] = mask_dir
     else:
         dataset_names = [d for d in sorted(os.listdir(args.dataset_folder))
                          if os.path.isdir(os.path.join(args.dataset_folder, d))]
@@ -106,8 +114,10 @@ def main(argv=None) -> int:
     for ds_name in dataset_names:
         ids = [s for s in solver_ids
                if s in supported.get(ds_name, tuple(solver_names))]
+        ds_extra = (extra + (f"--mask-folder={masked[ds_name]}",)
+                    if ds_name in masked else extra)
         configs = [full_pipeline.RunConfiguration(
-            name=solver_names[s], solver=s, extra_args=extra) for s in ids]
+            name=solver_names[s], solver=s, extra_args=ds_extra) for s in ids]
         if configs:
             results += full_pipeline.run_full_pipeline_tests(
                 args.project_folder, args.dataset_folder, [ds_name], configs,
@@ -127,11 +137,19 @@ def dataset_matrix(base_width: int):
     dof span, so it gets a trajectory it CAN represent).
 
     Rows: (name, scene, ring_degrees, min_views, width, theta_range,
-    roll_range, supported solver indices). Per-dataset view counts reflect
-    scene difficulty: thin ring structures need ≤ ~10° spacing and more
-    pixels to keep neighbouring views matchable; the Blob needs a denser
-    ring + more pixels than the default to keep the first group above the
-    10-full-size-track floor."""
+    roll_range, supported solver indices[, trajectory[, with_masks]]).
+    Per-dataset view counts reflect scene difficulty: thin ring structures
+    need ≤ ~10° spacing and more pixels to keep neighbouring views
+    matchable; the Blob needs a denser ring + more pixels than the default
+    to keep the first group above the 10-full-size-track floor.
+
+    The Suzanne rows mirror the reference's object × {Circle, 3Lat,
+    3Lat_rotated} eval shape with its per-trajectory solver support
+    (full_pipeline_tests.cpp:404-412, :428-439): the flat Circle ring is
+    representable by every solver, 3Lat needs a vertical dof, 3Lat_rotated
+    needs roll. SuzanneMasked exercises the --mask-folder flow end-to-end
+    (BASELINE config "real dataset with masks"; reference mask filtering:
+    src/matching/matching.cpp:325-368)."""
     w = base_width
     return (
         ("SphereCircle", "sphere", 360.0, 12, w, 10.0, 6.0, (0, 3)),
@@ -141,6 +159,16 @@ def dataset_matrix(base_width: int):
         # dof-compatible trajectories for the restricted Euler solvers
         ("SphereCircleFlat", "sphere", 360.0, 12, w, 0.0, 0.0, (1,)),
         ("SphereCircleTilt", "sphere", 360.0, 12, w, 10.0, 0.0, (2,)),
+        # Suzanne × trajectory family (rendered from the reference's
+        # resources/Suzanne.ply vertex cloud)
+        ("SuzanneCircle", "suzanne", 360.0, 16, max(w, 384), 0.0, 0.0,
+         (0, 1, 2, 3), "circle"),
+        ("Suzanne3Lat", "suzanne", 140.0, 24, max(w, 384), 20.0, 0.0,
+         (0, 2, 3), "3lat"),
+        ("Suzanne3LatRotated", "suzanne", 140.0, 24, max(w, 384), 20.0, 15.0,
+         (0, 3), "3lat_rotated"),
+        ("SuzanneMasked", "suzanne", 360.0, 16, max(w, 384), 0.0, 0.0,
+         (0, 3), "circle", True),
     )
 
 
