@@ -139,6 +139,16 @@ class MatchingConfig:
     lowres_match_threshold: int = 5
     min_feature_matches: int = 50  # pair gate (reference: matching_mve.cpp:400-405)
     min_matching_inliers: int = 30
+    # Matcher engine selection — the analog of MVE's Matching::MATCHER_*
+    # option (matching_mve.cpp:406-408 defaults to MATCHER_CASCADE_HASHING;
+    # MATCHER_EXHAUSTIVE is the other choice). On TPU BOTH values run the
+    # exact exhaustive MXU similarity matmul: cascade hashing is an LSH
+    # shortlist approximation of exactly this computation, built for
+    # cache-bound CPUs; on the MXU the brute-force matmul is faster than
+    # hash-bucket gather/scatter and returns the exact top-2 (a superset of
+    # cascade's candidates), so selecting "cascade_hashing" keeps the
+    # reference's default semantics with strictly better matches.
+    matcher: str = "cascade_hashing"  # "cascade_hashing" | "exhaustive"
     ransac_f_iterations: int = 1000
     ransac_f_threshold: float = 0.0015  # on normalized coords
     min_pair_inliers_to_accept: int = 8

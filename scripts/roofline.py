@@ -1,0 +1,199 @@
+"""Speed-of-light accounting for the two hot kernels (BASELINE.json north
+star: "matching and BA kernels at speed-of-light per chip").
+
+For each kernel this script combines an ANALYTIC FLOP/byte model (explicit
+formulas below, derived from the kernel source) with a measured wall time,
+and reports achieved FLOP/s against the chip's peaks, plus where the
+remaining gap comes from. Results feed docs/SCALING.md's roofline section
+and docs/roofline.json.
+
+Peak numbers used (TPU v5e / v5litepod, public spec):
+  - MXU bf16: 197 TFLOP/s per chip
+  - MXU f32: ~49 TFLOP/s (f32 operands run the MXU at ~1/4 bf16 rate)
+  - HBM bandwidth: 819 GB/s
+
+Run on a real TPU:  python scripts/roofline.py [--iters 100] [--repeats 3]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK_BF16 = 197e12
+PEAK_F32 = 49e12
+HBM_BW = 819e9
+
+
+# ---------------------------------------------------------------------------
+# BA fused LM kernel (solvers/ba_fused.py)
+
+
+def ba_flops_model(V: int, T: int, P: int):
+    """FLOPs per LM iteration of the fused kernel (quaternion path).
+
+    MXU terms (per TILE-wide slice, n_tiles = T/TILE slices, n = P·V):
+      U  += Zc·Zcᵀ          : 2·n·n·(2·TILE)      (ba_fused.py U_pm)
+      g  += Zc·Zrᵀ          : 2·n·V·(2·TILE)
+      S  += Σ_q WVi_q·Wc_qᵀ : 3·(2·n·n·TILE)      (Schur cross term)
+      rhs2 reduction        : 2·n·(3·TILE)
+    Gauss-Jordan on the (n, n+2) reduced system: n one-hot steps, each ~3
+    row/col products + a rank-1 update ≈ 6·n·(n+2) FLOPs (latency-bound —
+    80 sequential dependent steps, not throughput-bound).
+    VPU estimate: pass-1 block assembly ≈ 150 ops × V·T slots; pass-2
+    back-substitution + cost ≈ 200 ops × V·T (elementwise, masked).
+
+    Returns dict of FLOPs by phase.
+    """
+    from orthosfm_tpu.solvers.ba_fused import TILE
+
+    n = P * V
+    n_tiles = T // TILE
+    mxu_pass1 = n_tiles * (2 * n * n * 2 * TILE + 2 * n * V * 2 * TILE
+                           + 3 * 2 * n * n * TILE + 2 * n * 3 * TILE)
+    gj = 6 * n * n * (n + 2)
+    vpu_pass1 = 150 * V * T
+    vpu_pass2 = 200 * V * T
+    return {"mxu_pass1": mxu_pass1, "gauss_jordan": gj,
+            "vpu_pass1_est": vpu_pass1, "vpu_pass2_est": vpu_pass2,
+            "total": mxu_pass1 + gj + vpu_pass1 + vpu_pass2,
+            "n": n, "n_tiles": n_tiles, "tile": TILE}
+
+
+def measure_ba(iters: int, repeats: int):
+    """Per-iteration wall time of the fused kernel on the standard bench
+    problem (16 cams / 8192 tracks), one kernel call of `iters` iterations
+    (the per-call dispatch floor amortizes across iters)."""
+    from bench import make_problem
+    from orthosfm_tpu.config import BundleAdjustConfig
+    from orthosfm_tpu.core import cameras as cam_mod
+    from orthosfm_tpu.solvers import ba, ba_fused
+
+    cams, points, obs, mask = make_problem()
+    cfg = BundleAdjustConfig()
+    free_c = cam_mod.free_mask(cams)
+    p_hat = points / jnp.maximum(
+        jnp.linalg.norm(points, axis=-1, keepdims=True), 1e-20)
+    obsT = jnp.transpose(obs, (1, 2, 0)).astype(jnp.float32)
+    maskT = mask.T.astype(jnp.float32)
+    pT = p_hat.T.astype(jnp.float32)
+    rot = cams.rot.astype(jnp.float32)
+    _, _, camp = ba._camera_tensors(cams)
+    free = free_c.astype(jnp.float32)
+    cfg_row = jnp.asarray([[cfg.initial_lambda, 0.0, 0.0, cfg.lambda_up,
+                            cfg.lambda_down, cfg.min_lambda, cfg.max_lambda,
+                            0.0]], jnp.float32)
+    active = cam_mod.active_param_slots(cams)
+
+    def run():
+        out = ba_fused.run_lm(cams.kind, pT, obsT, maskT, rot, camp, free,
+                              cfg_row, cfg.huber_delta, True,
+                              max_iters=iters, ablate=frozenset({"timing"}),
+                              active=active)
+        jax.block_until_ready(out[0])
+
+    run()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    V, T = int(obs.shape[1]), int(obs.shape[0])
+    return best / iters, V, T, len(active)
+
+
+# ---------------------------------------------------------------------------
+# Matching kernel (ops/matching_pallas.py)
+
+
+def matching_flops_model(N1: int, N2: int, D: int):
+    """FLOPs per matched pair: one (N1, D)·(D, N2) similarity matmul
+    (2·N1·N2·D on the MXU) + running top-2 fold (~4 VPU ops per sim entry).
+    HBM traffic per pair (the kernel's design point): (N1+N2)·D·4 descriptor
+    bytes + N1·12 output bytes — the (N1, N2) similarity never leaves VMEM."""
+    return {"mxu": 2 * N1 * N2 * D, "vpu_est": 4 * N1 * N2,
+            "total": 2 * N1 * N2 * D + 4 * N1 * N2,
+            "hbm_bytes": (N1 + N2) * D * 4 + N1 * 12}
+
+
+def measure_matching(repeats: int, B: int = 16, N: int = 8192, D: int = 128):
+    """Wall time per pair for a B-pair batch of (N, D) descriptor sets."""
+    from orthosfm_tpu.ops import matching_pallas
+
+    rng = np.random.default_rng(0)
+    d1 = jnp.asarray(rng.random((B, N, D), np.float32))
+    d2 = jnp.asarray(rng.random((B, N, D), np.float32))
+    v = jnp.ones((B, N), bool)
+
+    fn = jax.jit(jax.vmap(matching_pallas.top2_similarity))
+
+    def run():
+        out = fn(d1, d2, v)
+        jax.block_until_ready(out[0])
+
+    run()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best / B, N, D
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--json", default="docs/roofline.json")
+    args = ap.parse_args()
+
+    out = {"peaks": {"mxu_bf16_flops": PEAK_BF16, "mxu_f32_flops": PEAK_F32,
+                     "hbm_bytes_per_s": HBM_BW}}
+
+    t_iter, V, T, P = measure_ba(args.iters, args.repeats)
+    fl = ba_flops_model(V, T, P)
+    achieved = fl["total"] / t_iter
+    out["ba_fused"] = {
+        "problem": f"{V} cams x {T} tracks, quaternion, f32",
+        "us_per_iter": round(t_iter * 1e6, 1),
+        "flops_per_iter": fl,
+        "achieved_flops": round(achieved / 1e12, 3),
+        "pct_of_f32_peak": round(100 * achieved / PEAK_F32, 1),
+        "pct_of_bf16_peak": round(100 * achieved / PEAK_BF16, 1),
+    }
+    print(f"BA fused: {t_iter*1e6:.1f} us/iter, "
+          f"{fl['total']/1e6:.0f} MFLOP/iter -> "
+          f"{achieved/1e12:.2f} TFLOP/s "
+          f"({100*achieved/PEAK_F32:.1f}% of f32 peak)")
+
+    t_pair, N, D = measure_matching(args.repeats)
+    fl_m = matching_flops_model(N, N, D)
+    achieved_m = fl_m["total"] / t_pair
+    out["matching_top2"] = {
+        "problem": f"{N} x {N} descriptors, D={D}, f32",
+        "us_per_pair": round(t_pair * 1e6, 1),
+        "flops_per_pair": fl_m,
+        "achieved_flops": round(achieved_m / 1e12, 3),
+        "pct_of_f32_peak": round(100 * achieved_m / PEAK_F32, 1),
+        "pct_of_bf16_peak": round(100 * achieved_m / PEAK_BF16, 1),
+        "hbm_gb_per_s": round(fl_m["hbm_bytes"] / t_pair / 1e9, 2),
+    }
+    print(f"Matching: {t_pair*1e6:.1f} us/pair, "
+          f"{fl_m['total']/1e9:.1f} GFLOP/pair -> "
+          f"{achieved_m/1e12:.2f} TFLOP/s "
+          f"({100*achieved_m/PEAK_F32:.1f}% of f32 peak)")
+
+    with open(args.json, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(f"Wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,7 @@ print("FUSED_TPU_OK")
 """
 
 
+@pytest.mark.slow
 def test_fused_kernel_on_tpu():
     import os
     import subprocess

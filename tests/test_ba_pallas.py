@@ -199,6 +199,7 @@ print("TPU_CHECK_OK")
 """
 
 
+@pytest.mark.slow
 def test_pallas_kernels_on_tpu():
     """Mosaic-compiled BA (both kinds) + matcher vs their XLA paths on the
     attached TPU. This is the regression gate for 'kernel fails to lower'."""

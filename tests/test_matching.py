@@ -26,6 +26,7 @@ def _scene(seed=0, n=50):
     return centers, amps, sigmas
 
 
+@pytest.mark.slow
 def test_sift_repeatability_under_shift():
     centers, amps, sigmas = _scene()
     img1 = _blob_image(centers, amps, sigmas)
@@ -117,6 +118,7 @@ def test_lowres_subset():
     assert set(idx.tolist()) == {1, 2}  # largest valid scales, 9.0 masked out
 
 
+@pytest.mark.slow
 def test_sift_upscale_octave():
     """Octave −1 (2× supersampled upscale, reference: mve sift.cc:178-184 and
     the always-on CudaSift upscale, cudaSiftH.cu:114-129) must produce MORE
@@ -152,6 +154,7 @@ def test_double_size_supersample_values():
     np.testing.assert_allclose(up[3, 5], 5.0)   # clamped corner
 
 
+@pytest.mark.slow
 def test_batched_extraction_matches_single():
     """extract_all_view_features (one vmapped program per shape group) must
     produce exactly the same per-view features as the per-view path."""
@@ -178,6 +181,7 @@ def test_batched_extraction_matches_single():
         np.testing.assert_array_equal(fb.scale, fs.scale)
 
 
+@pytest.mark.slow
 def test_extract_batch_view_chunking_matches_unchunked(monkeypatch):
     """Reference-scale inputs force view-chunked extraction (sift.py HBM
     budget); the chunked path must produce identical features."""

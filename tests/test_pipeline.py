@@ -71,6 +71,7 @@ def test_grouping_scales_to_many_views():
 
 @pytest.mark.parametrize("solver", [SolverType.ORTHO_QUATERNION,
                                     SolverType.ORTHO_EULER_ALL_DOF])
+@pytest.mark.slow
 def test_pose_estimation_synthetic(solver):
     ds = synthetic.generate_dataset(synthetic.sphere_cloud(300), num_views=6, seed=0)
     config = ReconstructionConfig(solver=solver)

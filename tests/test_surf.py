@@ -5,6 +5,7 @@ weight, strict NMS, quadratic localization with the contrast-500 gate,
 Haar responses, sliding-window orientation and the 64-d descriptor.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -98,6 +99,7 @@ def test_integral_image_matches_numpy():
     np.testing.assert_array_equal(S, _np_sat(img))
 
 
+@pytest.mark.slow
 def test_response_map_matches_numpy_reference():
     """det(H) = Dxx·Dyy − 0.912·Dxy² with the exact MVE box filters and the
     per-(octave, sample) border zeroing (surf.cc:159-305)."""

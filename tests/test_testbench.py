@@ -11,6 +11,7 @@ from orthosfm_tpu.core import cameras as cam_mod
 from orthosfm_tpu.testbench import full_pipeline, synthetic_tests
 
 
+@pytest.mark.slow
 def test_noise_sweep_small():
     results = synthetic_tests.run_noise_sweep(
         datasets=("Sphere",),
