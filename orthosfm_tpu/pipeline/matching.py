@@ -106,13 +106,15 @@ def _prepare_grays(views: List[View], config: ReconstructionConfig):
         H, W = shape[:2]
         halvings, h, w = _halving_plan(H, W, config.matching.max_image_pixels)
         pad_h, pad_w = -(-h // 128) * 128, -(-w // 128) * 128
-        # Per-view async uint16 channel-sum transfers + a device-side stack:
-        # one big host-side stack + single blocking transfer measured ~2.6×
-        # slower than overlapped per-view transfers on the tunnel, and the
-        # u16 sum is the cheapest exact grayscale precursor (2 B/px vs 3)
-        stack_u16 = jnp.stack([
-            jnp.asarray(np.sum(views[i].pixels, axis=-1, dtype=np.uint16))
-            for i in idxs])
+        # Host-stacked uint16 channel sums, ONE device_put: the raw tunnel
+        # moves 134 MB in ~0.09 s; what was slow before was (a) per-view
+        # jnp.asarray-inside-op-context transfers (~0.3 s each) and (b) a
+        # 4-D (V, H, W, 3) uint8 transfer whose size-3 minor dim padded to
+        # the 128-lane tile on device. The u16 sum is the cheapest exact
+        # grayscale precursor (2 B/px, value ≤ 3·255).
+        sums = np.stack([np.sum(views[i].pixels, axis=-1, dtype=np.uint16)
+                         for i in idxs])
+        stack_u16 = jax.device_put(sums)
         gray = _prepare_gray_jit(stack_u16, halvings, pad_h, pad_w)
         for bi, i in enumerate(idxs):
             prepared[i] = (gray[bi], halvings, h, w)

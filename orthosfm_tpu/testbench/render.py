@@ -394,12 +394,17 @@ def trajectory_angles(trajectory: str, num_views: int, ring_degrees: float,
         return np.stack([phis, thetas, rolls], -1).astype(np.float32)
     if trajectory in ("3lat", "3lat_rotated"):
         lat = np.deg2rad(max(theta_range, 20.0))
-        band_theta = [lat, 0.0, -lat]
+        # Equator band FIRST: the evaluation convention (reference
+        # full_pipeline_tests.cpp:253-297, no global alignment — only flip
+        # normalization) assumes view 0 ≈ identity, which is also what the
+        # pipeline's normalize-to-camera-0 produces. View 0 therefore sits
+        # at (phi 0, theta 0, roll 0).
+        band_theta = [0.0, lat, -lat]
         counts = [num_views - 2 * (num_views // 3), num_views // 3,
                   num_views // 3]
         phis, thetas, rolls = [], [], []
         for b, (th, n) in enumerate(zip(band_theta, counts)):
-            # Stagger bands by half a step so columns don't repeat exactly
+            # Stagger bands by a fraction of a step so columns don't repeat
             ph = np.linspace(0.0, ring_degrees, n, endpoint=False)
             ph += b * ring_degrees / max(n, 1) / 3.0
             phis += list(np.deg2rad(ph))
@@ -410,6 +415,7 @@ def trajectory_angles(trajectory: str, num_views: int, ring_degrees: float,
                                 max(roll_range, 15.0), n)))
             else:
                 rolls += [0.0] * n
+        rolls[0] = 0.0
         return np.stack([phis, thetas, rolls], -1).astype(np.float32)
     raise ValueError(f"unknown trajectory {trajectory!r}")
 

@@ -160,14 +160,20 @@ def dataset_matrix(base_width: int):
         ("SphereCircleFlat", "sphere", 360.0, 12, w, 0.0, 0.0, (1,)),
         ("SphereCircleTilt", "sphere", 360.0, 12, w, 10.0, 0.0, (2,)),
         # Suzanne × trajectory family (rendered from the reference's
-        # resources/Suzanne.ply vertex cloud)
-        ("SuzanneCircle", "suzanne", 360.0, 16, max(w, 384), 0.0, 0.0,
+        # resources/Suzanne.ply vertex cloud). Frontal 100° arcs, not full
+        # rings: the point-sphere Suzanne surface is thin and almost
+        # featureless in profile/back views, so a full ring contains
+        # disconnected views (the group builder then schedules a 0-track
+        # group, which — like the reference — aborts the run). The arc keeps
+        # the trajectory-family structure (flat ring / 3 latitudes /
+        # 3 latitudes + roll) that drives the per-trajectory solver support.
+        ("SuzanneArc", "suzanne", 100.0, 14, max(w, 384), 0.0, 0.0,
          (0, 1, 2, 3), "circle"),
-        ("Suzanne3Lat", "suzanne", 140.0, 24, max(w, 384), 20.0, 0.0,
+        ("Suzanne3Lat", "suzanne", 100.0, 24, max(w, 384), 20.0, 0.0,
          (0, 2, 3), "3lat"),
-        ("Suzanne3LatRotated", "suzanne", 140.0, 24, max(w, 384), 20.0, 15.0,
+        ("Suzanne3LatRotated", "suzanne", 100.0, 24, max(w, 384), 20.0, 15.0,
          (0, 3), "3lat_rotated"),
-        ("SuzanneMasked", "suzanne", 360.0, 16, max(w, 384), 0.0, 0.0,
+        ("SuzanneMasked", "suzanne", 100.0, 14, max(w, 384), 0.0, 0.0,
          (0, 3), "circle", True),
     )
 
