@@ -111,9 +111,16 @@ def _prepare_grays(views: List[View], config: ReconstructionConfig):
         # jnp.asarray-inside-op-context transfers (~0.3 s each) and (b) a
         # 4-D (V, H, W, 3) uint8 transfer whose size-3 minor dim padded to
         # the 128-lane tile on device. The u16 sum is the cheapest exact
-        # grayscale precursor (2 B/px, value ≤ 3·255).
-        sums = np.stack([np.sum(views[i].pixels, axis=-1, dtype=np.uint16)
-                         for i in idxs])
+        # grayscale precursor (2 B/px, value ≤ 3·255); it runs across a
+        # thread pool because the single-threaded numpy reduce costs
+        # ~120 ms/view (large ufuncs release the GIL, so threads scale).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _sum_u16(i):
+            return np.sum(views[i].pixels, axis=-1, dtype=np.uint16)
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            sums = np.stack(list(pool.map(_sum_u16, idxs)))
         stack_u16 = jax.device_put(sums)
         gray = _prepare_gray_jit(stack_u16, halvings, pad_h, pad_w)
         for bi, i in enumerate(idxs):
