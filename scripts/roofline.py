@@ -66,16 +66,16 @@ def ba_flops_model(V: int, T: int, P: int):
             "n": n, "n_tiles": n_tiles, "tile": TILE}
 
 
-def measure_ba(iters: int, repeats: int):
-    """Per-iteration wall time of the fused kernel on the standard bench
-    problem (16 cams / 8192 tracks), one kernel call of `iters` iterations
+def measure_ba(iters: int, repeats: int, num_views: int = 16):
+    """Per-iteration wall time of the fused kernel (quaternion problem at
+    `num_views` cams / 8192 tracks), one kernel call of `iters` iterations
     (the per-call dispatch floor amortizes across iters)."""
     from bench import make_problem
     from orthosfm_tpu.config import BundleAdjustConfig
     from orthosfm_tpu.core import cameras as cam_mod
     from orthosfm_tpu.solvers import ba, ba_fused
 
-    cams, points, obs, mask = make_problem()
+    cams, points, obs, mask = make_problem(num_views=num_views)
     cfg = BundleAdjustConfig()
     free_c = cam_mod.free_mask(cams)
     p_hat = points / jnp.maximum(
@@ -172,21 +172,28 @@ def main():
     out = {"peaks": {"mxu_bf16_flops": PEAK_BF16, "mxu_f32_flops": PEAK_F32,
                      "hbm_bytes_per_s": HBM_BW}}
 
-    t_iter, V, T, P = measure_ba(args.iters, args.repeats)
-    fl = ba_flops_model(V, T, P)
-    achieved = fl["total"] / t_iter
-    out["ba_fused"] = {
-        "problem": f"{V} cams x {T} tracks, quaternion, f32",
-        "us_per_iter": round(t_iter * 1e6, 1),
-        "flops_per_iter": fl,
-        "achieved_flops": round(achieved / 1e12, 3),
-        "pct_of_f32_peak": round(100 * achieved / PEAK_F32, 1),
-        "pct_of_bf16_peak": round(100 * achieved / PEAK_BF16, 1),
-    }
-    print(f"BA fused: {t_iter*1e6:.1f} us/iter, "
-          f"{fl['total']/1e6:.0f} MFLOP/iter -> "
-          f"{achieved/1e12:.2f} TFLOP/s "
-          f"({100*achieved/PEAK_F32:.1f}% of f32 peak)")
+    for nv, key in ((16, "ba_fused"), (64, "ba_fused_64cam")):
+        try:
+            t_iter, V, T, P = measure_ba(args.iters, args.repeats,
+                                         num_views=nv)
+        except Exception as e:  # e.g. fused VMEM envelope exceeded
+            out[key] = {"skipped": str(e)}
+            print(f"BA fused {nv} cams: skipped ({e})")
+            continue
+        fl = ba_flops_model(V, T, P)
+        achieved = fl["total"] / t_iter
+        out[key] = {
+            "problem": f"{V} cams x {T} tracks, quaternion, f32",
+            "us_per_iter": round(t_iter * 1e6, 1),
+            "flops_per_iter": fl,
+            "achieved_flops": round(achieved / 1e12, 3),
+            "pct_of_f32_peak": round(100 * achieved / PEAK_F32, 1),
+            "pct_of_bf16_peak": round(100 * achieved / PEAK_BF16, 1),
+        }
+        print(f"BA fused {V} cams: {t_iter*1e6:.1f} us/iter, "
+              f"{fl['total']/1e6:.0f} MFLOP/iter -> "
+              f"{achieved/1e12:.2f} TFLOP/s "
+              f"({100*achieved/PEAK_F32:.1f}% of f32 peak)")
 
     t_pair, N, D = measure_matching(args.repeats)
     fl_m = matching_flops_model(N, N, D)
